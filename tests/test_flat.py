@@ -1,0 +1,94 @@
+"""Flat (brute-force) index: exactness, metrics, tiling, incremental adds."""
+import numpy as np
+import pytest
+
+from zvdb_tpu import FlatConfig, FlatIndex, exact_ground_truth
+
+
+def _np_scores(x, q, metric):
+    """Ascending-is-better scores in float64 (squared L2 or negated similarity)."""
+    x = x.astype(np.float64)
+    q = q.astype(np.float64)
+    if metric == "cosine":
+        x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    if metric == "l2":
+        return ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    return -(q @ x.T)
+
+
+def _np_ground_truth(x, q, k, metric):
+    return np.argsort(_np_scores(x, q, metric), axis=-1, kind="stable")[:, :k]
+
+
+def assert_topk_correct(x, q, ids, k, metric, eps=1e-4):
+    """Every returned id must score within eps of the true k-th best score
+    (tolerates float accumulation-order ties at the boundary)."""
+    s = _np_scores(x, q, metric)
+    kth = np.sort(s, axis=-1)[:, k - 1]
+    for r in range(q.shape[0]):
+        got = s[r, ids[r]]
+        assert (got <= kth[r] + eps).all(), (r, got, kth[r])
+
+
+@pytest.mark.parametrize("metric", ["l2", "dot", "cosine"])
+def test_exact_matches_numpy(rng, metric):
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((17, 32)).astype(np.float32)
+    idx = FlatIndex(FlatConfig(dim=32, metric=metric), capacity=500)
+    idx.add(x)
+    scores, ids = idx.search(q, 10)
+    assert_topk_correct(x, q, np.asarray(ids), 10, metric)
+
+
+def test_tiled_search_matches_untiled(rng):
+    x = rng.standard_normal((1000, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    a = FlatIndex(FlatConfig(dim=16, tile_n=128), capacity=1000)
+    b = FlatIndex(FlatConfig(dim=16, tile_n=100000), capacity=1000)
+    a.add(x)
+    b.add(x)
+    sa, ia = a.search(q, 7)
+    sb, ib = b.search(q, 7)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-5)
+
+
+def test_empty_and_small(rng):
+    idx = FlatIndex(FlatConfig(dim=8))
+    s, i = idx.search(rng.standard_normal((3, 8)).astype(np.float32), 5)
+    assert (np.asarray(i) == -1).all()
+    # k > n: trailing slots invalid
+    idx.add(rng.standard_normal((2, 8)).astype(np.float32))
+    s, i = idx.search(rng.standard_normal((1, 8)).astype(np.float32), 5)
+    i = np.asarray(i)
+    assert (i[0, :2] >= 0).all() and (i[0, 2:] == -1).all()
+
+
+def test_incremental_adds_and_growth(rng):
+    idx = FlatIndex(FlatConfig(dim=8), capacity=4)
+    xs = rng.standard_normal((40, 8)).astype(np.float32)
+    for row in xs:
+        idx.insert(row)
+    assert len(idx) == 40
+    q = xs[13]
+    s, i = idx.search(q, 1)
+    assert int(i[0]) == 13
+    assert float(s[0]) < 1e-5
+
+
+def test_exact_ground_truth_helper(rng):
+    x = rng.standard_normal((200, 12)).astype(np.float32)
+    q = rng.standard_normal((5, 12)).astype(np.float32)
+    s, i = exact_ground_truth(x, q, 3, metric="l2")
+    assert_topk_correct(x, q, i, 3, "l2")
+
+
+def test_dimension_mismatch_raises(rng):
+    # reference panics on mismatched dims (src/hnsw.zig:184); we raise
+    idx = FlatIndex(FlatConfig(dim=8), capacity=10)
+    with pytest.raises(ValueError):
+        idx.add(np.zeros((2, 9), np.float32))
+    idx.add(np.zeros((2, 8), np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((1, 4), np.float32), 1)

@@ -1,0 +1,31 @@
+"""zvdb-tpu: a TPU-native vector search engine.
+
+Brand-new implementation of the capabilities of the reference `zvdb` Zig library
+(an in-memory HNSW index — reference src/zvdb.zig:1, src/hnsw.zig:8-247),
+re-architected for TPU: flat int32 neighbor tables traversed by batched beam
+search, MXU matmul distances, bulk batched graph construction, and pjit/shard_map
+sharding across device meshes.
+
+Public surface (the reference exports exactly one symbol, `HNSW` —
+src/zvdb.zig:1; we keep that plus the engine pieces around it):
+
+    from zvdb_tpu import HNSW            # the graph index
+    from zvdb_tpu import FlatIndex       # exact brute-force index / oracle
+    from zvdb_tpu import HNSWConfig, SearchConfig, FlatConfig
+"""
+
+from .utils.config import FlatConfig, HNSWConfig, SearchConfig
+from .index.flat import FlatIndex, exact_ground_truth
+from .index.hnsw import HNSW, HNSWState
+
+__all__ = [
+    "HNSW",
+    "HNSWState",
+    "FlatIndex",
+    "exact_ground_truth",
+    "HNSWConfig",
+    "SearchConfig",
+    "FlatConfig",
+]
+
+__version__ = "0.1.0"

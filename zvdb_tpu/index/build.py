@@ -1,0 +1,407 @@
+"""Bulk batched HNSW construction — lock-free by design.
+
+TPU-native replacement for the reference's serialized per-insert mutation under a
+global mutex (reference src/hnsw.zig:73-170). Construction here processes points
+in batches; each batch:
+
+  1. is ingested into the dense arrays (rows n..n+B-1),
+  2. beam-searches the *frozen prefix* (rows < n) at every layer to collect
+     ef_construction candidates per point per layer,
+  3. unions in intra-batch brute-force kNN candidates (points in the same batch
+     cannot see each other through the graph yet — SURVEY.md §7 "hard parts"),
+  4. selects M neighbors per (point, layer) with a vectorized
+     relative-neighborhood diversity rule (the selectNeighbors heuristic the
+     reference lacks — it keeps plain nearest-m, src/hnsw.zig:143-170),
+  5. inserts reverse edges with a sort-based scatter and re-prunes every touched
+     row with the same diversity rule (replacing shrinkConnections).
+
+Everything is static-shaped; scatter conflicts are resolved by sorting the edge
+list by target and letting only each target's first occurrence write its
+re-pruned row (all other writes land in the trash row cap+1).
+
+Level sampling is canonical geometric with mL = 1/ln(m) from a JAX PRNG key
+(the reference burns a CSPRNG coin-flip per level with p=0.5 —
+src/hnsw.zig:172-180).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import topk as T
+from ..utils.config import HNSWConfig
+from .hnsw import HNSWState, beam_layer, init_state, max_level_for
+
+INF = jnp.inf
+_BIG = jnp.float32(1e30)
+
+
+def sample_levels(key: jax.Array, n: int, m: int, levels_cap: int, ml: Optional[float]) -> np.ndarray:
+    """Geometric level sampling, level = floor(-ln(U) * mL), mL = 1/ln(m)."""
+    mlv = ml if ml is not None else 1.0 / math.log(max(m, 2))
+    u = jax.random.uniform(key, (n,), minval=1e-9, maxval=1.0)
+    lv = jnp.floor(-jnp.log(u) * mlv).astype(jnp.int32)
+    return np.asarray(jnp.clip(lv, 0, levels_cap))
+
+
+# ---------------------------------------------------------------------------
+# vectorized selectNeighbors (diversity pruning)
+
+
+def select_neighbors(
+    state: HNSWState,
+    base_vec: jax.Array,     # [R, D] f32
+    base_norm: jax.Array,    # [R] f32 (squared norms; zeros for dot/cosine)
+    cand: jax.Array,         # [R, C] int32 candidate rows, -1 invalid, deduped
+    cand_scores: jax.Array,  # [R, C] surrogate scores base->cand (inf invalid)
+    m_out: int,
+    alpha: float,
+    metric: str,
+) -> jax.Array:
+    """Pick up to m_out diverse neighbors per row. Returns ids [R, m_out] (-1 pad).
+
+    Parallel relative-neighborhood rule: candidate c is pruned if some candidate
+    e ranked strictly closer to the base satisfies alpha*d(c,e) < d(base,c).
+    Pruned candidates backfill remaining slots in distance order (the
+    keepPrunedConnections behavior of canonical HNSW). Fully vectorized: the
+    pairwise candidate distances are one batched matmul on the MXU.
+    """
+    safe = jnp.maximum(cand, 0)
+    c_vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)  # [R, C, D]
+    c_norms = jnp.take(state.norms, safe, axis=0)                        # [R, C]
+    valid = cand >= 0
+
+    if metric == "l2":
+        d_b = cand_scores + base_norm[:, None]  # true squared distance
+    else:
+        d_b = cand_scores
+    d_b = jnp.where(valid, d_b, INF)
+
+    dots = jnp.einsum(
+        "rcd,red->rce", c_vecs, c_vecs, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        d_cc = c_norms[:, :, None] + c_norms[:, None, :] - 2.0 * dots
+    else:
+        d_cc = -dots
+
+    earlier = d_b[:, None, :] < d_b[:, :, None]          # [R, c, e]: e closer than c
+    close = (alpha * d_cc) < d_b[:, :, None]             # e too close to c
+    pruned = jnp.any(earlier & close & valid[:, None, :], axis=-1)
+
+    keep = valid & ~pruned
+    priority = jnp.where(keep, d_b, d_b + _BIG)
+    priority = jnp.where(valid, priority, INF)
+    _, sel = T.smallest_k(priority, cand, m_out)
+    return sel
+
+
+# ---------------------------------------------------------------------------
+# reverse-edge pass
+
+
+def _reverse_pass(
+    state: HNSWState,
+    nbr_table: jax.Array,   # [cap+1, degree] adjacency for this layer
+    src_rows: jax.Array,    # [B] batch rows
+    fwd: jax.Array,         # [B, m] forward-selected neighbors (-1 pad)
+    degree: int,
+    rev_window: int,
+    alpha: float,
+    metric: str,
+) -> jax.Array:
+    """Add reverse edges src->tgt for every forward edge tgt, re-pruning each
+    touched target row to `degree` with the diversity rule.
+
+    Scatter-contention-free: edges sorted by target; each target's first
+    occurrence computes and writes the merged row; other occurrences write to
+    the trash row (index cap).
+    """
+    b, m = fwd.shape
+    p = b * m
+    cap_trash = nbr_table.shape[0] - 1
+
+    tgt = fwd.reshape(p)
+    src = jnp.repeat(src_rows, m)
+    valid = tgt >= 0
+    key = jnp.where(valid, tgt, jnp.int32(2**30))
+    order = jnp.argsort(key, stable=True)
+    st = tgt[order]
+    ss = src[order]
+    sv = valid[order]
+
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), st[:-1]])
+    first = sv & (st != prev)
+
+    # window of up to rev_window sources per target
+    pos = jnp.arange(p)
+    win = jnp.clip(pos[:, None] + jnp.arange(rev_window)[None, :], 0, p - 1)
+    wt = st[win]
+    ws = ss[win]
+    same = (wt == st[:, None]) & sv[:, None] & (win < p)
+    rev = jnp.where(same, ws, -1)                        # [P, W] new sources
+
+    st_safe = jnp.maximum(st, 0)
+    existing = jnp.take(nbr_table, st_safe, axis=0)      # [P, degree]
+    cand = jnp.concatenate([existing, rev], axis=-1)     # [P, degree + W]
+
+    base_vec = jnp.take(state.vectors, st_safe, axis=0).astype(jnp.float32)
+    base_norm = jnp.take(state.norms, st_safe, axis=0)
+    scores = D.gathered_scores(
+        base_vec,
+        jnp.take(state.vectors, jnp.maximum(cand, 0), axis=0),
+        jnp.take(state.norms, jnp.maximum(cand, 0), axis=0),
+        metric,
+    )
+    scores = jnp.where(cand >= 0, scores, INF)
+    scores, cand = T.mask_duplicate_ids(scores, cand)
+
+    new_rows = select_neighbors(
+        state, base_vec, base_norm, cand, scores, degree, alpha, metric
+    )
+    write_at = jnp.where(first, st, cap_trash)
+    return nbr_table.at[write_at].set(new_rows)
+
+
+# ---------------------------------------------------------------------------
+# one bulk-build batch step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "levels_cap"),
+    donate_argnums=(0,),
+)
+def build_batch_step(
+    state: HNSWState,
+    xb: jax.Array,        # [B, D] f32 batch vectors (raw)
+    lb: jax.Array,        # [B] int32 batch levels (-1 for padding)
+    extb: jax.Array,      # [B] int32 external ids
+    valid: jax.Array,     # [B] bool
+    cfg: HNSWConfig,
+    levels_cap: int,
+) -> HNSWState:
+    b, d = xb.shape
+    m, m0 = cfg.m, cfg.base_degree
+    metric = cfg.metric
+    prefix_n = state.n
+    base = prefix_n  # batch rows occupy [base, base+B)
+    rows = base + jnp.arange(b, dtype=jnp.int32)
+
+    # ---- 1. ingest ------------------------------------------------------
+    stored, norms = D.preprocess_corpus(xb, metric, cfg.storage_dtype)
+    vectors = jax.lax.dynamic_update_slice(state.vectors, stored, (base, 0))
+    vnorms = jax.lax.dynamic_update_slice(state.norms, norms, (base,))
+    levels = jax.lax.dynamic_update_slice(
+        state.levels, jnp.where(valid, lb, -1), (base,)
+    )
+    ext_ids = jax.lax.dynamic_update_slice(
+        state.ext_ids, jnp.where(valid, extb, -1), (base,)
+    )
+    state = state._replace(vectors=vectors, norms=vnorms, levels=levels, ext_ids=ext_ids)
+
+    q = stored.astype(jnp.float32)
+    if metric == "cosine":
+        # stored vectors are already normalized by preprocess_corpus
+        pass
+    qn = D.sq_norms(q)
+
+    # ---- 2. frozen-prefix beams at every layer --------------------------
+    ep = jnp.broadcast_to(state.entry, (b,))
+    ep = jnp.where(ep < prefix_n, ep, -1)  # entry must be in the prefix
+    ep_s = jnp.where(
+        ep >= 0,
+        D.gathered_scores(
+            q,
+            jnp.take(state.vectors, jnp.maximum(ep, 0), axis=0)[:, None, :],
+            jnp.take(state.norms, jnp.maximum(ep, 0), axis=0)[:, None],
+            metric,
+        )[:, 0],
+        INF,
+    )
+
+    layer_beams = {}
+    seed_r, seed_s = ep[:, None], ep_s[:, None]
+    for ell in range(levels_cap, 0, -1):
+        bs, br = beam_layer(
+            state, q, seed_r, seed_s, state.nbrU[ell - 1],
+            ef=cfg.ef_construction_upper, metric=metric, expand=1,
+            limit_n=prefix_n,
+        )
+        layer_beams[ell] = (bs, br)
+        better = bs[:, :1] < seed_s[:, :1]
+        seed_r = jnp.where(better & (br[:, :1] >= 0), br[:, :1], seed_r)
+        seed_s = jnp.where(better, bs[:, :1], seed_s)
+    bs0, br0 = beam_layer(
+        state, q, seed_r, seed_s, state.nbr0,
+        ef=cfg.ef_construction, metric=metric, expand=1,
+        limit_n=prefix_n,
+    )
+    layer_beams[0] = (bs0, br0)
+
+    # ---- 3. intra-batch brute-force candidates --------------------------
+    intra = D.pairwise_scores(q, stored, jnp.where(valid, qn, INF), metric)  # [B, B]
+    eye = jnp.eye(b, dtype=bool)
+    intra = jnp.where(eye | ~valid[None, :], INF, intra)
+
+    nbr0_t, nbrU_t = state.nbr0, state.nbrU
+    fwd_by_layer = {}
+    for ell in range(0, levels_cap + 1):
+        degree = m0 if ell == 0 else m
+        active = valid & (lb >= ell)
+
+        # intra candidates restricted to batch points that reach this layer
+        col_ok = valid & (lb >= ell)
+        intra_l = jnp.where(col_ok[None, :], intra, INF)
+        k_intra = min(b, degree)
+        i_s, i_c = T.smallest_k_dense(intra_l, k_intra)
+        i_rows = jnp.where(jnp.isfinite(i_s), base + i_c.astype(jnp.int32), -1)
+        i_s = jnp.where(i_rows >= 0, i_s, INF)
+
+        g_s, g_r = layer_beams[ell]
+        c_s = jnp.concatenate([g_s, i_s], axis=-1)
+        c_r = jnp.concatenate([g_r, i_rows], axis=-1)
+        c_s, c_r = T.mask_duplicate_ids(c_s, c_r)
+
+        fwd = select_neighbors(state, q, qn, c_r, c_s, m, cfg.alpha, metric)
+        fwd = jnp.where(active[:, None], fwd, -1)
+        fwd_by_layer[ell] = fwd
+
+        row_block = jnp.concatenate(
+            [fwd, jnp.full((b, degree - m), -1, jnp.int32)], axis=-1
+        ) if degree > m else fwd[:, :degree]
+        if ell == 0:
+            nbr0_t = jax.lax.dynamic_update_slice(nbr0_t, row_block, (base, 0))
+        else:
+            nbrU_t = jax.lax.dynamic_update_slice(
+                nbrU_t, row_block[None], (ell - 1, base, 0)
+            )
+    state = state._replace(nbr0=nbr0_t, nbrU=nbrU_t)
+
+    # ---- 4. reverse edges ----------------------------------------------
+    nbr0_t = _reverse_pass(
+        state, state.nbr0, rows, fwd_by_layer[0], m0, m, cfg.alpha, metric
+    )
+    state = state._replace(nbr0=nbr0_t)
+    for ell in range(1, levels_cap + 1):
+        tab = _reverse_pass(
+            state, state.nbrU[ell - 1], rows, fwd_by_layer[ell], m, m, cfg.alpha, metric
+        )
+        state = state._replace(nbrU=state.nbrU.at[ell - 1].set(tab))
+
+    # ---- 5. bookkeeping -------------------------------------------------
+    lb_masked = jnp.where(valid, lb, -1)
+    batch_max = jnp.max(lb_masked)
+    batch_best = base + jnp.argmax(lb_masked).astype(jnp.int32)
+    promote = (state.entry < 0) | (batch_max > state.max_level)
+    has_any = jnp.any(valid)
+    entry = jnp.where(promote & has_any, batch_best, state.entry)
+    max_level = jnp.maximum(state.max_level, jnp.where(has_any, batch_max, 0))
+    n = state.n + jnp.sum(valid).astype(jnp.int32)
+    return state._replace(entry=entry, max_level=max_level, n=n)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+
+
+def _run_batches(state, x, levels, ext, cfg, levels_cap):
+    n = x.shape[0]
+    bsz = min(cfg.build_batch, max(n, 1))
+    nb = -(-n // bsz)
+    for t in range(nb):
+        lo, hi = t * bsz, min((t + 1) * bsz, n)
+        xb = np.zeros((bsz, cfg.dim), np.float32)
+        xb[: hi - lo] = x[lo:hi]
+        lb = np.full((bsz,), -1, np.int32)
+        lb[: hi - lo] = levels[lo:hi]
+        eb = np.full((bsz,), -1, np.int32)
+        eb[: hi - lo] = ext[lo:hi]
+        vb = np.zeros((bsz,), bool)
+        vb[: hi - lo] = True
+        state = build_batch_step(
+            state, jnp.asarray(xb), jnp.asarray(lb), jnp.asarray(eb),
+            jnp.asarray(vb), cfg, levels_cap,
+        )
+    return state
+
+
+def bulk_build(
+    x: np.ndarray,
+    cfg: HNSWConfig,
+    key: jax.Array,
+    sort_by_level: bool = True,
+    capacity: Optional[int] = None,
+) -> Tuple[HNSWState, int, int]:
+    """Build a fresh index over corpus x [N, D]. Returns (state, capacity, levels_cap).
+
+    Points are inserted in level-descending order so the frozen prefix always
+    contains every node of equal-or-higher level (the entry point is therefore
+    correct from the first batch — unlike the reference, which pins the entry to
+    node 0 forever, src/hnsw.zig:110-112).
+    """
+    n = x.shape[0]
+    cap = capacity if capacity is not None else max(n, 1)
+    levels_cap = cfg.max_level if cfg.max_level is not None else max_level_for(cap, cfg.m)
+    state = init_state(cap, cfg, levels_cap)
+    if n == 0:
+        return state, cap, levels_cap
+    levels = sample_levels(key, n, cfg.m, levels_cap, cfg.ml)
+    order = np.argsort(-levels, kind="stable") if sort_by_level else np.arange(n)
+    xs = np.asarray(x, np.float32)[order]
+    ls = levels[order]
+    ext = order.astype(np.int32)
+    state = _run_batches(state, xs, ls, ext, cfg, levels_cap)
+    return state, cap, levels_cap
+
+
+def extend_graph(
+    state: Optional[HNSWState],
+    capacity: int,
+    levels_cap: int,
+    x: np.ndarray,
+    cfg: HNSWConfig,
+    key: jax.Array,
+    ext_id_start: int,
+) -> Tuple[HNSWState, int]:
+    """Append a batch of points to an existing graph (incremental insert path).
+
+    Arrival order is preserved; the entry point is promoted if a new node's level
+    exceeds the current max (fidelity-ledger fix)."""
+    n_new = x.shape[0]
+    if state is None:
+        st, cap, _ = bulk_build(
+            x, cfg, key, sort_by_level=True,
+            capacity=max(n_new, 1024),
+        )
+        # bulk_build assigned ext ids 0..n-1 by original position; shift them
+        st = st._replace(
+            ext_ids=jnp.where(st.ext_ids >= 0, st.ext_ids + ext_id_start, -1)
+        )
+        return st, cap
+    need = int(state.n) + n_new
+    if need > capacity:
+        new_cap = max(need, 2 * capacity)
+        grown = init_state(new_cap, cfg, levels_cap)
+        state = HNSWState(
+            vectors=grown.vectors.at[:capacity].set(state.vectors),
+            norms=grown.norms.at[:capacity].set(state.norms),
+            nbr0=grown.nbr0.at[:capacity].set(state.nbr0[:-1]),
+            nbrU=grown.nbrU.at[:, :capacity].set(state.nbrU[:, :-1]),
+            levels=grown.levels.at[:capacity].set(state.levels),
+            ext_ids=grown.ext_ids.at[:capacity].set(state.ext_ids),
+            entry=state.entry,
+            max_level=state.max_level,
+            n=state.n,
+        )
+        capacity = new_cap
+    levels = sample_levels(key, n_new, cfg.m, levels_cap, cfg.ml)
+    ext = np.arange(ext_id_start, ext_id_start + n_new, dtype=np.int32)
+    state = _run_batches(state, np.asarray(x, np.float32), levels, ext, cfg, levels_cap)
+    return state, capacity

@@ -1,0 +1,186 @@
+"""Flat (brute-force) index — exact kNN on the MXU.
+
+Serves three roles (SURVEY.md §7 M0):
+  1. recall ground-truth oracle for the graph engine,
+  2. the distance kernel the graph engine reuses,
+  3. a fast exact path for small corpora.
+
+The corpus axis is tiled so [B, N] score matrices never exceed memory; tiles are
+scanned with a running top-k merge (`lax.scan`), keeping everything static-shaped
+for XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import topk as T
+from ..utils.config import FlatConfig
+
+
+class FlatState(NamedTuple):
+    """Device-resident flat index state (a pytree)."""
+
+    vectors: jax.Array   # [cap, D] storage dtype
+    norms: jax.Array     # [cap] f32 squared norms (zeros unless metric == l2)
+    n: jax.Array         # scalar int32 live count
+
+
+def init_state(capacity: int, cfg: FlatConfig) -> FlatState:
+    return FlatState(
+        vectors=jnp.zeros((capacity, cfg.dim), cfg.storage_dtype),
+        norms=jnp.full((capacity,), jnp.inf, jnp.float32) if cfg.metric == "l2"
+        else jnp.zeros((capacity,), jnp.float32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "dtype_name"))
+def _ingest(state: FlatState, x: jax.Array, metric: str, dtype_name: str) -> FlatState:
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    stored, norms = D.preprocess_corpus(x, metric, dtype)
+    b = x.shape[0]
+    vecs = jax.lax.dynamic_update_slice(state.vectors, stored, (state.n, 0))
+    ns = jax.lax.dynamic_update_slice(state.norms, norms, (state.n,))
+    return FlatState(vecs, ns, state.n + b)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n"))
+def _search(state: FlatState, q: jax.Array, k: int, metric: str, tile_n: int):
+    """Exact top-k: scan corpus tiles, merge running top-k. Returns (scores, ids).
+
+    Scores are user-facing (squared L2 distance, or similarity for dot/cosine as
+    ranked ascending-surrogate then finalized).
+    """
+    cap = state.vectors.shape[0]
+    tile = min(tile_n, cap)
+    n_tiles = -(-cap // tile)
+    pad_cap = n_tiles * tile
+
+    qs = D.preprocess_queries(q, metric)
+    b = qs.shape[0]
+
+    vec_t = jnp.pad(state.vectors, ((0, pad_cap - cap), (0, 0))).reshape(
+        n_tiles, tile, -1
+    )
+    norm_t = jnp.pad(state.norms, (0, pad_cap - cap), constant_values=jnp.inf).reshape(
+        n_tiles, tile
+    )
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def body(carry, inputs):
+        t_idx, vecs, norms = inputs
+        best_s, best_i = carry
+        s = D.pairwise_scores(
+            qs, vecs, norms, metric, precision=jax.lax.Precision.HIGHEST
+        )  # [B, tile] — exact-oracle path, full f32 precision
+        base = t_idx * tile
+        local_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = (local_ids < state.n) & (local_ids < cap)
+        s = jnp.where(valid, s, jnp.inf)
+        local_ids = jnp.where(valid, local_ids, -1)
+        kk = min(k, tile)
+        ts, ti = T.smallest_k(s, local_ids, kk)
+        if kk < k:
+            ts = jnp.pad(ts, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+            ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)
+        return T.merge_topk(best_s, best_i, ts, ti, k), None
+
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_tiles, dtype=jnp.int32), vec_t, norm_t)
+    )
+    out = D.finalize_scores(best_s, qs, metric)
+    out = jnp.where(best_i >= 0, out, jnp.inf if metric == "l2" else -jnp.inf)
+    return out, best_i
+
+
+class FlatIndex:
+    """Exact kNN index. API mirrors the reference HNSW surface
+    (init/insert/search — reference src/hnsw.zig:52,73,194) with batching."""
+
+    def __init__(self, cfg: FlatConfig, capacity: int = 0):
+        self.cfg = cfg
+        self.capacity = int(capacity)
+        self.state: Optional[FlatState] = (
+            init_state(self.capacity, cfg) if capacity else None
+        )
+
+    def __len__(self) -> int:
+        return 0 if self.state is None else int(self.state.n)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    def _ensure_capacity(self, extra: int):
+        need = len(self) + extra
+        if self.state is None:
+            self.capacity = max(need, 1024)
+            self.state = init_state(self.capacity, self.cfg)
+        elif need > self.capacity:
+            new_cap = max(need, 2 * self.capacity)
+            old = self.state
+            grown = init_state(new_cap, self.cfg)
+            self.state = FlatState(
+                vectors=grown.vectors.at[: self.capacity].set(old.vectors),
+                norms=grown.norms.at[: self.capacity].set(old.norms),
+                n=old.n,
+            )
+            self.capacity = new_cap
+
+    def add(self, x) -> None:
+        """Insert a batch [B, D] (or a single vector [D])."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
+            )
+        self._ensure_capacity(x.shape[0])
+        self.state = _ingest(self.state, x, self.cfg.metric, self.cfg.dtype)
+
+    insert = add  # reference-parity alias (src/hnsw.zig:73)
+
+    def search(self, q, k: int):
+        """Exact top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
+
+        Empty index -> all ids are -1 (reference: empty result, src/hnsw.zig:201).
+        k > n -> trailing slots have id -1 (reference returns n results,
+        src/test_hnsw.zig:104-126).
+        """
+        q = jnp.asarray(q)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if q.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
+            )
+        if self.state is None:
+            s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
+            i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        else:
+            s, i = _search(self.state, q, k, self.cfg.metric, self.cfg.tile_n)
+        if squeeze:
+            return s[0], i[0]
+        return s, i
+
+
+def exact_ground_truth(corpus, queries, k: int, metric: str = "l2", tile_n: int = 65536):
+    """One-shot exact kNN for recall evaluation. Returns numpy (scores, ids)."""
+    corpus = jnp.asarray(corpus)
+    cfg = FlatConfig(dim=int(corpus.shape[-1]), metric=metric, tile_n=tile_n)
+    idx = FlatIndex(cfg, capacity=int(corpus.shape[0]))
+    idx.add(corpus)
+    s, i = idx.search(jnp.asarray(queries), k)
+    return np.asarray(s), np.asarray(i)

@@ -1,0 +1,450 @@
+"""TPU-native HNSW: flat int32 neighbor tables + batched hierarchical beam search.
+
+Re-architecture of the reference's pointer-chasing index (reference
+src/hnsw.zig:8-247). The reference keeps a hash map of heap-allocated nodes with
+per-node ArrayList adjacency and traverses with a priority queue under a global
+mutex; none of that maps to a TPU. Here the index is a pytree of dense arrays:
+
+    vectors  f32/bf16 [cap, D]
+    norms    f32      [cap]            (squared norms, l2 metric only)
+    nbr0     int32    [cap+1, M0]      base-layer adjacency, -1 padded
+    nbrU     int32    [L, cap+1, M]    upper-layer adjacency (layer l at nbrU[l-1])
+    levels   int32    [cap]            per-node level (-1 = unused slot)
+    ext_ids  int32    [cap]            user-visible id of each internal row
+
+and search is a batched beam search: per hop, gather neighbor rows -> gather
+candidate vectors -> one batched contraction for all scores (MXU) -> masked
+top-k merge. The +1 row in the adjacency tables is a write-trash row so batched
+scatters can drop invalid updates without dynamic shapes.
+
+Deliberate fixes over the reference (SURVEY.md §2.1 / fidelity ledger):
+  * search uses the hierarchy (reference searches layer-0 only, src/hnsw.zig:216)
+  * real ef_search beam (reference terminates after popping k, src/hnsw.zig:211)
+  * entry point promoted when a higher-level node arrives (reference never
+    promotes, src/hnsw.zig:110-116)
+  * canonical level distribution mL=1/ln(m) (reference p=0.5, src/hnsw.zig:176)
+  * descent goes top layer -> 0 (reference ascends, src/hnsw.zig:88)
+"""
+from __future__ import annotations
+
+import functools
+import math
+import threading
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import topk as T
+from ..utils.config import HNSWConfig, SearchConfig
+
+INF = jnp.inf
+
+
+class HNSWState(NamedTuple):
+    vectors: jax.Array    # [cap, D] storage dtype
+    norms: jax.Array      # [cap] f32
+    nbr0: jax.Array       # [cap+1, M0] int32
+    nbrU: jax.Array       # [L, cap+1, M] int32
+    levels: jax.Array     # [cap] int32, -1 unused
+    ext_ids: jax.Array    # [cap] int32
+    entry: jax.Array      # scalar int32 internal row (-1 = empty)
+    max_level: jax.Array  # scalar int32
+    n: jax.Array          # scalar int32 live count
+
+
+def max_level_for(capacity: int, m: int) -> int:
+    """Static hierarchy height: enough layers that the top layer is ~O(1) nodes."""
+    if capacity <= 1:
+        return 1
+    return max(1, int(math.ceil(math.log(max(capacity, 2)) / math.log(max(m, 2)))))
+
+
+def init_state(capacity: int, cfg: HNSWConfig, levels_cap: Optional[int] = None) -> HNSWState:
+    L = levels_cap if levels_cap is not None else (
+        cfg.max_level if cfg.max_level is not None else max_level_for(capacity, cfg.m)
+    )
+    return HNSWState(
+        vectors=jnp.zeros((capacity, cfg.dim), cfg.storage_dtype),
+        norms=jnp.zeros((capacity,), jnp.float32),
+        nbr0=jnp.full((capacity + 1, cfg.base_degree), -1, jnp.int32),
+        nbrU=jnp.full((L, capacity + 1, cfg.m), -1, jnp.int32),
+        levels=jnp.full((capacity,), -1, jnp.int32),
+        ext_ids=jnp.full((capacity,), -1, jnp.int32),
+        entry=jnp.asarray(-1, jnp.int32),
+        max_level=jnp.asarray(0, jnp.int32),
+        n=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# score helpers
+
+
+def _gather_vecs(state: HNSWState, rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Gather vectors+norms for row ids (any shape); -1 rows are clamped (callers mask)."""
+    safe = jnp.maximum(rows, 0)
+    return jnp.take(state.vectors, safe, axis=0), jnp.take(state.norms, safe, axis=0)
+
+
+def _scores_to(state: HNSWState, q: jax.Array, rows: jax.Array, metric: str) -> jax.Array:
+    """Surrogate scores from queries [B, D] to per-query rows [B, C] -> [B, C].
+
+    Invalid rows (< 0 or >= limit handled by caller) get +inf here only for < 0.
+    """
+    vecs, norms = _gather_vecs(state, rows)
+    s = D.gathered_scores(q, vecs, norms, metric)
+    return jnp.where(rows >= 0, s, INF)
+
+
+# ---------------------------------------------------------------------------
+# greedy descent over one upper layer
+
+
+def _greedy_layer(
+    state: HNSWState,
+    q: jax.Array,            # [B, D] f32 (preprocessed)
+    ep: jax.Array,           # [B] int32 current entry rows
+    ep_score: jax.Array,     # [B] f32
+    nbrs: jax.Array,         # [cap+1, M] adjacency of this layer
+    metric: str,
+    max_iters: int,
+):
+    """Batched greedy walk: move each query to its best neighbor until no improvement."""
+
+    def cond(carry):
+        _, _, moved, it = carry
+        return jnp.logical_and(jnp.any(moved), it < max_iters)
+
+    def body(carry):
+        ep, ep_score, _, it = carry
+        cand = jnp.take(nbrs, jnp.maximum(ep, 0), axis=0)  # [B, M]
+        s = _scores_to(state, q, cand, metric)
+        best_s = jnp.min(s, axis=-1)
+        best_i = jnp.argmin(s, axis=-1)
+        best_row = jnp.take_along_axis(cand, best_i[:, None], axis=-1)[:, 0]
+        better = best_s < ep_score
+        new_ep = jnp.where(better, best_row, ep)
+        new_score = jnp.where(better, best_s, ep_score)
+        return new_ep, new_score, better, it + 1
+
+    init = (ep, ep_score, jnp.ones(ep.shape, bool), jnp.asarray(0, jnp.int32))
+    ep, ep_score, _, _ = jax.lax.while_loop(cond, body, init)
+    return ep, ep_score
+
+
+# ---------------------------------------------------------------------------
+# beam search over one layer
+
+
+def beam_layer(
+    state: HNSWState,
+    q: jax.Array,             # [B, D] preprocessed queries
+    seed_rows: jax.Array,     # [B, S] initial candidate rows (-1 ok)
+    seed_scores: jax.Array,   # [B, S]
+    nbrs: jax.Array,          # [cap+1, deg] adjacency for this layer
+    ef: int,
+    metric: str,
+    expand: int = 1,
+    max_iters: Optional[int] = None,
+    limit_n: Optional[jax.Array] = None,
+):
+    """Batched best-first beam search on one layer's graph.
+
+    Returns (beam_scores [B, ef], beam_rows [B, ef]) sorted ascending by score.
+    `limit_n`: rows >= limit_n are treated as nonexistent (used during bulk build
+    to search only the frozen prefix).
+
+    This replaces the reference's heap + visited-hashmap loop
+    (src/hnsw.zig:202-224). The visited set is implicit: candidates are deduped
+    against the current beam and carry an expanded flag; an evicted-then-revisited
+    node costs a little wasted compute, never correctness.
+    """
+    b, s_width = seed_rows.shape
+    deg = nbrs.shape[-1]
+    e = expand
+    if max_iters is None:
+        max_iters = 4 * max(ef // max(e, 1), 1) + 16
+
+    # init beam from seeds
+    pad = ef - s_width
+    if pad < 0:
+        seed_scores, seed_rows = T.smallest_k(seed_scores, seed_rows, ef)
+        pad = 0
+    beam_s = jnp.pad(seed_scores, ((0, 0), (0, pad)), constant_values=INF)
+    beam_r = jnp.pad(seed_rows, ((0, 0), (0, pad)), constant_values=-1)
+    beam_s, beam_r = T.mask_duplicate_ids(beam_s, beam_r)
+    beam_s, beam_r = T.smallest_k(beam_s, beam_r, ef)
+    expanded = beam_r < 0  # invalid slots count as expanded
+
+    def cond(carry):
+        _, _, expanded, it, done = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done)))
+
+    def body(carry):
+        beam_s, beam_r, expanded, it, done = carry
+        unexp_s = jnp.where(expanded, INF, beam_s)
+        # positions of the E best unexpanded entries
+        _, pos = jax.lax.top_k(-unexp_s, e)                       # [B, E]
+        sel_s = jnp.take_along_axis(unexp_s, pos, axis=-1)        # [B, E]
+        sel_r = jnp.take_along_axis(beam_r, pos, axis=-1)
+        sel_valid = jnp.isfinite(sel_s)
+        sel_r = jnp.where(sel_valid, sel_r, -1)
+
+        # termination: best unexpanded no better than the worst beam slot
+        worst = jnp.max(beam_s, axis=-1)
+        best_unexp = sel_s[:, 0]
+        q_done = best_unexp >= worst
+        new_done = jnp.logical_or(done, q_done)
+
+        # mark selected as expanded
+        onehot = jnp.zeros_like(expanded).at[
+            jnp.arange(b)[:, None], pos
+        ].set(True, mode="drop")
+        onehot = jnp.logical_and(onehot, jnp.isfinite(jnp.where(expanded, INF, beam_s)))
+        expanded = jnp.logical_or(expanded, onehot)
+
+        # expand: gather neighbor lists of the selected rows
+        cand = jnp.take(nbrs, jnp.maximum(sel_r, 0), axis=0)      # [B, E, deg]
+        cand = jnp.where((sel_r >= 0)[:, :, None], cand, -1)
+        cand = cand.reshape(b, e * deg)
+        if limit_n is not None:
+            cand = jnp.where(cand < limit_n, cand, -1)
+        c_s = _scores_to(state, q, cand, metric)
+        c_s, cand = T.mask_duplicate_ids(c_s, cand)
+        c_s, cand = T.mask_ids_in(c_s, cand, beam_r)
+
+        # merge into beam, carrying expanded flags (new entries unexpanded)
+        all_s = jnp.concatenate([beam_s, c_s], axis=-1)
+        all_r = jnp.concatenate([beam_r, cand], axis=-1)
+        all_e = jnp.concatenate(
+            [expanded, jnp.zeros_like(cand, bool)], axis=-1
+        )
+        _, top_pos = jax.lax.top_k(-all_s, ef)
+        beam_s = jnp.take_along_axis(all_s, top_pos, axis=-1)
+        beam_r = jnp.take_along_axis(all_r, top_pos, axis=-1)
+        expanded = jnp.take_along_axis(all_e, top_pos, axis=-1)
+        expanded = jnp.logical_or(expanded, beam_r < 0)
+        # frozen queries keep everything expanded so they do no further work
+        expanded = jnp.logical_or(expanded, new_done[:, None])
+        return beam_s, beam_r, expanded, it + 1, new_done
+
+    init = (beam_s, beam_r, expanded, jnp.asarray(0, jnp.int32), jnp.zeros(b, bool))
+    beam_s, beam_r, *_ = jax.lax.while_loop(cond, body, init)
+    return beam_s, beam_r
+
+
+# ---------------------------------------------------------------------------
+# full hierarchical search
+
+
+def descend(
+    state: HNSWState,
+    q: jax.Array,
+    metric: str,
+    levels_cap: int,
+    stop_layer: int = 0,
+    max_upper_iters: int = 32,
+    limit_n: Optional[jax.Array] = None,
+):
+    """Greedy-descend from the entry point through upper layers down to
+    `stop_layer + 1`, returning per-query entry rows+scores for `stop_layer`."""
+    b = q.shape[0]
+    ep = jnp.broadcast_to(state.entry, (b,))
+    ep_score = _scores_to(state, q, ep[:, None], metric)[:, 0]
+    for ell in range(levels_cap, stop_layer, -1):
+        active = ell <= state.max_level
+        nbrs = state.nbrU[ell - 1]
+
+        def run(args, nbrs=nbrs):
+            ep, ep_score = args
+            return _greedy_layer(state, q, ep, ep_score, nbrs, metric, max_upper_iters)
+
+        ep, ep_score = jax.lax.cond(active, run, lambda a: a, (ep, ep_score))
+    return ep, ep_score
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "ef", "expand", "max_iters", "max_upper_iters", "levels_cap"),
+)
+def search_state(
+    state: HNSWState,
+    q: jax.Array,      # [B, D] raw queries
+    k: int,
+    metric: str,
+    ef: int,
+    expand: int = 1,
+    max_iters: Optional[int] = None,
+    max_upper_iters: int = 32,
+    levels_cap: int = 1,
+):
+    """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
+
+    scores are user-facing (squared L2 per the reference contract, or similarity
+    for dot/cosine). Empty slots: score inf/-inf, ids -1.
+    """
+    qp = D.preprocess_queries(q, metric)
+    ef = max(ef, k)
+    ep, ep_score = descend(
+        state, qp, metric, levels_cap, stop_layer=0, max_upper_iters=max_upper_iters,
+        limit_n=None,
+    )
+    beam_s, beam_r = beam_layer(
+        state, qp, ep[:, None], ep_score[:, None], state.nbr0, ef, metric,
+        expand=expand, max_iters=max_iters,
+    )
+    top_s, top_r = T.smallest_k(beam_s, beam_r, k)
+    valid = top_r >= 0
+    ext = jnp.where(valid, jnp.take(state.ext_ids, jnp.maximum(top_r, 0)), -1)
+    user = D.finalize_scores(top_s, qp, metric)
+    user = jnp.where(valid, user, INF if metric == "l2" else -INF)
+    # empty index: entry == -1 -> everything invalid
+    nonempty = state.n > 0
+    ext = jnp.where(nonempty, ext, -1)
+    top_r = jnp.where(nonempty, top_r, -1)
+    return user, ext, top_r
+
+
+# ---------------------------------------------------------------------------
+# OO wrapper — the reference-parity public API
+
+
+class HNSW:
+    """TPU-native HNSW index.
+
+    API parity with the reference (src/hnsw.zig): `insert` (single or batch),
+    `search`, plus what the reference lacks: batched bulk build, save/load,
+    metrics beyond L2, ef_search. Host-side mutation is guarded by a lock
+    (the reference serializes with a global mutex, src/hnsw.zig:50; device
+    compute here is pure so the lock only protects Python state).
+    """
+
+    def __init__(
+        self,
+        cfg: HNSWConfig,
+        search_cfg: SearchConfig = SearchConfig(),
+        capacity: int = 0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.search_cfg = search_cfg
+        self.capacity = int(capacity)
+        self.levels_cap = cfg.max_level or max_level_for(max(capacity, 1024), cfg.m)
+        self.state: Optional[HNSWState] = None
+        self._pending: list[np.ndarray] = []   # host-side insert buffer
+        self._n_inserted = 0                   # external ids handed out
+        self._key = jax.random.PRNGKey(seed)
+        self._lock = threading.RLock()
+        if capacity:
+            self.state = init_state(self.capacity, cfg, self.levels_cap)
+
+    # -- introspection ----------------------------------------------------
+    def __len__(self) -> int:
+        with self._lock:
+            n_dev = 0 if self.state is None else int(self.state.n)
+            n_pend = sum(p.shape[0] for p in self._pending)
+            return n_dev + n_pend
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    # -- mutation ---------------------------------------------------------
+    def insert(self, x) -> None:
+        """Insert one vector [D] or a batch [B, D]. Buffered host-side; the graph
+        is extended in bulk on the next search/flush (semantically equivalent to
+        the reference's per-insert mutation, minus the locks)."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
+            )
+        with self._lock:
+            self._pending.append(x)
+            self._n_inserted += x.shape[0]
+            pend = sum(p.shape[0] for p in self._pending)
+            if pend >= self.cfg.build_batch:
+                self._flush_locked()
+
+    add = insert
+
+    def build(self, x, sort_by_level: bool = True) -> None:
+        """Bulk-build the index from a corpus [N, D] (replaces current contents)."""
+        from .build import bulk_build  # local import to avoid cycle
+
+        x = np.asarray(x, dtype=np.float32)
+        with self._lock:
+            self._pending = []
+            self._n_inserted = x.shape[0]
+            self._key, sub = jax.random.split(self._key)
+            self.state, self.capacity, self.levels_cap = bulk_build(
+                x, self.cfg, sub, sort_by_level=sort_by_level
+            )
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._pending:
+            return
+        from .build import extend_graph
+
+        x = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        base_ext = self._n_inserted - x.shape[0]
+        self._key, sub = jax.random.split(self._key)
+        self.state, self.capacity = extend_graph(
+            self.state, self.capacity, self.levels_cap, x, self.cfg, sub,
+            ext_id_start=base_ext,
+        )
+
+    # -- search -----------------------------------------------------------
+    def search(self, q, k: int, ef_search: Optional[int] = None):
+        """kNN search. q: [D] or [B, D]. Returns (scores, ids) with shape [B, k]
+        ([k] for a single query). Trailing invalid slots have id -1 (the
+        reference returns fewer-than-k results when n < k,
+        src/test_hnsw.zig:104-126 — fixed shapes + -1 is the TPU analog)."""
+        with self._lock:
+            self._flush_locked()
+            q = jnp.asarray(q, jnp.float32)
+            squeeze = q.ndim == 1
+            if squeeze:
+                q = q[None, :]
+            if q.shape[-1] != self.cfg.dim:
+                raise ValueError(
+                    f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
+                )
+            sc = self.search_cfg
+            ef = ef_search if ef_search is not None else sc.ef_search
+            if self.state is None or int(self.state.n) == 0:
+                s = jnp.full((q.shape[0], k), INF if self.cfg.metric == "l2" else -INF)
+                i = jnp.full((q.shape[0], k), -1, jnp.int32)
+            else:
+                s, i, _ = search_state(
+                    self.state, q, k, self.cfg.metric, ef,
+                    expand=sc.expand, max_iters=sc.max_iters,
+                    max_upper_iters=sc.max_upper_iters, levels_cap=self.levels_cap,
+                )
+            if squeeze:
+                return s[0], i[0]
+            return s, i
+
+    # -- persistence (absent in the reference; SURVEY.md §5) ---------------
+    def save(self, path: str) -> None:
+        from ..io.persist import save_hnsw
+
+        with self._lock:
+            self._flush_locked()
+            save_hnsw(path, self)
+
+    @classmethod
+    def load(cls, path: str) -> "HNSW":
+        from ..io.persist import load_hnsw
+
+        return load_hnsw(path)

@@ -1,0 +1,74 @@
+"""Index persistence (save/load).
+
+The reference has no persistence at all — its index lives and dies in memory
+(SURVEY.md §5 "Checkpoint / resume: Absent"). Here the full index state
+(vectors, neighbor tables, levels, entry point, params) round-trips through a
+single .npz file; shapes are static so load is a straight device_put.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import HNSWConfig, SearchConfig
+
+FORMAT_VERSION = 1
+
+
+def save_hnsw(path: str, index) -> None:
+    from ..index.hnsw import HNSW  # noqa: F401 (type only)
+
+    st = index.state
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "cfg": dataclasses.asdict(index.cfg),
+        "search_cfg": dataclasses.asdict(index.search_cfg),
+        "capacity": index.capacity,
+        "levels_cap": index.levels_cap,
+        "n_inserted": index._n_inserted,
+    }
+    arrays = {}
+    if st is not None:
+        arrays = {
+            "vectors": np.asarray(st.vectors),
+            "norms": np.asarray(st.norms),
+            "nbr0": np.asarray(st.nbr0),
+            "nbrU": np.asarray(st.nbrU),
+            "levels": np.asarray(st.levels),
+            "ext_ids": np.asarray(st.ext_ids),
+            "entry": np.asarray(st.entry),
+            "max_level": np.asarray(st.max_level),
+            "n": np.asarray(st.n),
+        }
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_hnsw(path: str):
+    from ..index.hnsw import HNSW, HNSWState
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta["format_version"] > FORMAT_VERSION:
+            raise ValueError(f"unsupported index format {meta['format_version']}")
+        cfg = HNSWConfig(**meta["cfg"])
+        scfg = SearchConfig(**meta["search_cfg"])
+        idx = HNSW(cfg, scfg)
+        idx.capacity = meta["capacity"]
+        idx.levels_cap = meta["levels_cap"]
+        idx._n_inserted = meta["n_inserted"]
+        if "vectors" in z:
+            idx.state = HNSWState(
+                vectors=jnp.asarray(z["vectors"], cfg.storage_dtype),
+                norms=jnp.asarray(z["norms"]),
+                nbr0=jnp.asarray(z["nbr0"]),
+                nbrU=jnp.asarray(z["nbrU"]),
+                levels=jnp.asarray(z["levels"]),
+                ext_ids=jnp.asarray(z["ext_ids"]),
+                entry=jnp.asarray(z["entry"]),
+                max_level=jnp.asarray(z["max_level"]),
+                n=jnp.asarray(z["n"]),
+            )
+    return idx

@@ -1,0 +1,97 @@
+"""Configuration dataclasses for zvdb-tpu.
+
+The reference hardcodes every parameter at each construction site
+(`benchmarks/shared_benchmarks.zig:62,91`, `src/test_hnsw.zig:26`); this module is
+the config/flag system the reference lacks (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+Metric = str  # "l2" | "dot" | "cosine"
+
+_VALID_METRICS = ("l2", "dot", "cosine")
+
+
+@dataclasses.dataclass(frozen=True)
+class HNSWConfig:
+    """Parameters for the TPU-native HNSW index.
+
+    Mirrors the reference constructor `HNSW(T).init(allocator, m, ef_construction)`
+    (reference src/hnsw.zig:52) but with the parameters the reference stored and never
+    used made real: `ef_construction` actually drives the build beam width, and
+    `ef_search` (absent in the reference, which terminates after popping k) is a real
+    search-time beam.
+    """
+
+    dim: int
+    m: int = 16                    # max neighbors per node per upper layer
+    ef_construction: int = 100     # build-time beam width (candidate pool per insert)
+    metric: Metric = "l2"
+    # Degree of the base layer; canonical HNSW uses 2*M. None -> 2*m.
+    m0: Optional[int] = None
+    # Level sampling uses canonical mL = 1/ln(m) (the reference uses p=0.5 ==
+    # mL=1/ln 2, a known deviation — SURVEY.md §2.1 item 3). Override if needed.
+    ml: Optional[float] = None
+    # Hard cap on hierarchy height. None -> derived from capacity at build time.
+    max_level: Optional[int] = None
+    # Diversity pruning relaxation (alpha >= 1.0; 1.0 = strict RNG rule).
+    alpha: float = 1.0
+    # Storage dtype for vectors: float32 | bfloat16 (int8 via QuantConfig below).
+    dtype: str = "float32"
+    # Build batch size for bulk construction.
+    build_batch: int = 1024
+    # Beam width used for the upper-layer candidate searches during build.
+    ef_construction_upper: int = 32
+
+    def __post_init__(self):
+        if self.metric not in _VALID_METRICS:
+            raise ValueError(f"metric must be one of {_VALID_METRICS}, got {self.metric!r}")
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+        if self.m < 2:
+            raise ValueError("m must be >= 2")
+
+    @property
+    def base_degree(self) -> int:
+        return self.m0 if self.m0 is not None else 2 * self.m
+
+    @property
+    def storage_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Search-time knobs (the reference has none: no ef_search, k-pop termination —
+    reference src/hnsw.zig:211)."""
+
+    ef_search: int = 64
+    # Number of beam entries expanded per hop (batched expansion).
+    expand: int = 1
+    # Max hops in the layer-0 beam loop; None -> derived (ef_search + slack).
+    max_iters: Optional[int] = None
+    # Max greedy hops per upper layer.
+    max_upper_iters: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatConfig:
+    """Brute-force index config."""
+
+    dim: int
+    metric: Metric = "l2"
+    dtype: str = "float32"
+    # Tile size over the corpus axis for memory-bounded exact search.
+    tile_n: int = 131072
+
+    def __post_init__(self):
+        if self.metric not in _VALID_METRICS:
+            raise ValueError(f"metric must be one of {_VALID_METRICS}, got {self.metric!r}")
+
+    @property
+    def storage_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
