@@ -256,10 +256,12 @@ def build_batch_step(
         degree = m0 if ell == 0 else m
         active = valid & (lb >= ell)
 
-        # intra candidates restricted to batch points that reach this layer
+        # intra candidates restricted to batch points that reach this layer.
+        # Width matches the construction beam so first-batch inserts (whose only
+        # candidates are intra-batch) see as rich a pool as graph-searched ones.
         col_ok = valid & (lb >= ell)
         intra_l = jnp.where(col_ok[None, :], intra, INF)
-        k_intra = min(b, degree)
+        k_intra = min(b, cfg.ef_construction if ell == 0 else cfg.ef_construction_upper)
         i_s, i_c = T.smallest_k_dense(intra_l, k_intra)
         i_rows = jnp.where(jnp.isfinite(i_s), base + i_c.astype(jnp.int32), -1)
         i_s = jnp.where(i_rows >= 0, i_s, INF)
@@ -347,7 +349,12 @@ def bulk_build(
     node 0 forever, src/hnsw.zig:110-112).
     """
     n = x.shape[0]
-    cap = capacity if capacity is not None else max(n, 1)
+    # Capacity is rounded up to a whole number of build batches: every batch
+    # writes a full [B] row block, and dynamic_update_slice CLAMPS out-of-bounds
+    # starts (a partial final batch would silently shift and corrupt rows).
+    bsz = min(cfg.build_batch, max(n, 1))
+    cap_min = -(-max(n, 1) // bsz) * bsz
+    cap = max(capacity, cap_min) if capacity is not None else cap_min
     levels_cap = cfg.max_level if cfg.max_level is not None else max_level_for(cap, cfg.m)
     state = init_state(cap, cfg, levels_cap)
     if n == 0:
@@ -385,7 +392,11 @@ def extend_graph(
             ext_ids=jnp.where(st.ext_ids >= 0, st.ext_ids + ext_id_start, -1)
         )
         return st, cap
-    need = int(state.n) + n_new
+    # Reserve a full batch-aligned window past n: batch writes are [B] blocks
+    # starting at n, and dynamic_update_slice clamps OOB starts (see bulk_build).
+    bsz = min(cfg.build_batch, max(n_new, 1))
+    nb = -(-n_new // bsz)
+    need = int(state.n) + nb * bsz
     if need > capacity:
         new_cap = max(need, 2 * capacity)
         grown = init_state(new_cap, cfg, levels_cap)
