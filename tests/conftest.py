@@ -21,6 +21,10 @@ import jax  # noqa: E402
 if not os.environ.get("ZVDB_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache — repeated pytest runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -173,12 +173,7 @@ def _reverse_pass(
 # one bulk-build batch step
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "levels_cap"),
-    donate_argnums=(0,),
-)
-def build_batch_step(
+def build_batch_impl(
     state: HNSWState,
     xb: jax.Array,        # [B, D] f32 batch vectors (raw)
     lb: jax.Array,        # [B] int32 batch levels (-1 for padding)
@@ -307,6 +302,13 @@ def build_batch_step(
     max_level = jnp.maximum(state.max_level, jnp.where(has_any, batch_max, 0))
     n = state.n + jnp.sum(valid).astype(jnp.int32)
     return state._replace(entry=entry, max_level=max_level, n=n)
+
+
+build_batch_step = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "levels_cap"),
+    donate_argnums=(0,),
+)(build_batch_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -266,11 +266,7 @@ def descend(
     return ep, ep_score
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "ef", "expand", "max_iters", "max_upper_iters", "levels_cap"),
-)
-def search_state(
+def search_state_impl(
     state: HNSWState,
     q: jax.Array,      # [B, D] raw queries
     k: int,
@@ -306,6 +302,14 @@ def search_state(
     ext = jnp.where(nonempty, ext, -1)
     top_r = jnp.where(nonempty, top_r, -1)
     return user, ext, top_r
+
+
+search_state = jax.jit(
+    search_state_impl,
+    static_argnames=(
+        "k", "metric", "ef", "expand", "max_iters", "max_upper_iters", "levels_cap"
+    ),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +361,9 @@ class HNSW:
         """Insert one vector [D] or a batch [B, D]. Buffered host-side; the graph
         is extended in bulk on the next search/flush (semantically equivalent to
         the reference's per-insert mutation, minus the locks)."""
-        x = np.asarray(x, dtype=np.float32)
+        # Own a copy — the reference copies the caller's point into index-owned
+        # memory (src/hnsw.zig:24-26); buffering by reference would alias.
+        x = np.array(x, dtype=np.float32, copy=True)
         if x.ndim == 1:
             x = x[None, :]
         if x.shape[-1] != self.cfg.dim:
