@@ -1,0 +1,154 @@
+"""Dataset loaders + synthetic workload generators.
+
+The reference benchmarks only uniform-random vectors
+(reference benchmarks/shared_benchmarks.zig:53-59); BASELINE.json additionally
+names SIFT1M (fvecs), GloVe (cosine) and DEEP (96d). This module parses the
+standard TEXMEX binary formats (fvecs/ivecs/bvecs) and provides deterministic
+synthetic stand-ins (uniform and clustered) for air-gapped environments.
+
+A native C++ mmap loader (native/zvdb_host.cpp) accelerates parsing when built;
+this falls back to pure numpy transparently.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# TEXMEX binary formats: each record is [int32 dim][dim * elt]
+
+
+def read_fvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    return _read_vecs(path, np.float32, max_rows)
+
+
+def read_ivecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    return _read_vecs(path, np.int32, max_rows)
+
+
+def read_bvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((0, 0), np.uint8)
+    dim = int(np.frombuffer(raw[:4].tobytes(), np.int32)[0])
+    rec = 4 + dim
+    n = raw.size // rec
+    if max_rows is not None:
+        n = min(n, max_rows)
+    mat = raw[: n * rec].reshape(n, rec)
+    return mat[:, 4:]
+
+
+def _read_vecs(path: str, dtype, max_rows: Optional[int]) -> np.ndarray:
+    try:
+        from . import native_loader
+
+        arr = native_loader.read_vecs(path, dtype, max_rows)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
+    raw = np.fromfile(path, dtype=np.int32)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype)
+    dim = int(raw[0])
+    rec = dim + 1
+    n = raw.size // rec
+    if max_rows is not None:
+        n = min(n, max_rows)
+    mat = raw[: n * rec].reshape(n, rec)[:, 1:]
+    return mat.view(np.float32).astype(dtype, copy=False) if dtype == np.float32 \
+        else mat.astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# synthetic workloads (deterministic; air-gapped stand-ins for SIFT/GloVe/DEEP)
+
+
+def synthetic_uniform(n: int, dim: int, seed: int = 0) -> np.ndarray:
+    """Uniform [0,1) points — exactly the reference's workload
+    (shared_benchmarks.zig:53-59)."""
+    return np.random.default_rng(seed).random((n, dim), dtype=np.float32)
+
+
+def synthetic_clustered(
+    n: int, dim: int, n_clusters: int = 1000, spread: float = 0.15, seed: int = 0
+) -> np.ndarray:
+    """Gaussian-mixture points — closer to SIFT/DEEP geometry than uniform
+    (real descriptor datasets are strongly clustered, which is what makes
+    graph ANN effective on them)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    pts = centers[assign] + spread * rng.standard_normal((n, dim)).astype(np.float32)
+    return pts.astype(np.float32)
+
+
+def load_dataset(
+    name: str,
+    data_dir: Optional[str] = None,
+    max_rows: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], str]:
+    """Returns (corpus, queries, ground_truth_or_None, metric).
+
+    Known names: sift1m, glove, deep10m, synthetic-uniform, synthetic-clustered.
+    File-based datasets look in data_dir (default $ZVDB_DATA or ./data) and fall
+    back to a synthetic stand-in of matching shape if files are absent.
+    """
+    data_dir = data_dir or os.environ.get("ZVDB_DATA", "data")
+
+    def p(f):
+        return os.path.join(data_dir, f)
+
+    if name == "sift1m":
+        base, query, gt = p("sift_base.fvecs"), p("sift_query.fvecs"), p("sift_groundtruth.ivecs")
+        if os.path.exists(base):
+            x = read_fvecs(base, max_rows)
+            q = read_fvecs(query)
+            g = read_ivecs(gt) if os.path.exists(gt) and max_rows is None else None
+            return x, q, g, "l2"
+        n = max_rows or 1_000_000
+        return (
+            synthetic_clustered(n, 128, seed=seed),
+            synthetic_clustered(10_000, 128, seed=seed + 1),
+            None,
+            "l2",
+        )
+    if name == "glove":
+        base = p("glove_base.fvecs")
+        if os.path.exists(base):
+            return read_fvecs(base, max_rows), read_fvecs(p("glove_query.fvecs")), None, "cosine"
+        n = max_rows or 1_183_514
+        return (
+            synthetic_clustered(n, 100, seed=seed),
+            synthetic_clustered(10_000, 100, seed=seed + 1),
+            None,
+            "cosine",
+        )
+    if name == "deep10m":
+        base = p("deep10m_base.fvecs")
+        if os.path.exists(base):
+            return read_fvecs(base, max_rows), read_fvecs(p("deep10m_query.fvecs")), None, "l2"
+        n = max_rows or 10_000_000
+        return (
+            synthetic_clustered(n, 96, seed=seed),
+            synthetic_clustered(10_000, 96, seed=seed + 1),
+            None,
+            "l2",
+        )
+    if name == "synthetic-uniform":
+        n = max_rows or 100_000
+        return synthetic_uniform(n, 128, seed), synthetic_uniform(10_000, 128, seed + 1), None, "l2"
+    if name == "synthetic-clustered":
+        n = max_rows or 100_000
+        return (
+            synthetic_clustered(n, 128, seed=seed),
+            synthetic_clustered(10_000, 128, seed=seed + 1),
+            None,
+            "l2",
+        )
+    raise ValueError(f"unknown dataset {name!r}")
