@@ -1,0 +1,99 @@
+"""Reference-protocol benchmark sweep.
+
+Mirrors the reference's drivers exactly (SURVEY.md §3.4 / BASELINE.md):
+dims {128, 512, 768, 1024} x k {10, 25, 50, 100}, 100k points, 10k queries,
+fresh index per combination, search timing excludes build
+(reference benchmarks/single_threaded_benchmarks.zig:28-33,
+shared_benchmarks.zig:90-113). The reference's "multi-threaded" driver never
+spawned threads (multi_threaded_benchmarks.zig:8-24); the device-count sweep
+here is real: it runs on an actual device mesh when more than one device exists.
+
+Usage:
+    python -m zvdb_tpu.bench.sweep [--points 100000] [--queries 10000]
+        [--dims 128,512,768,1024] [--ks 10,25,50,100] [--ef 64]
+        [--devices 1] [--out results.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=10_000)
+    ap.add_argument("--dims", type=str, default="128,512,768,1024")
+    ap.add_argument("--ks", type=str, default="10,25,50,100")
+    ap.add_argument("--ef", type=int, default=64)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--efc", type=int, default=100)
+    ap.add_argument("--build-batch", type=int, default=2048)
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--metric", type=str, default="l2")
+    ap.add_argument("--recall", action="store_true", help="also measure recall")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+
+    from zvdb_tpu import HNSW, HNSWConfig
+    from zvdb_tpu.bench.harness import (
+        ground_truth_host, random_points, run_insertion_benchmark,
+        run_search_benchmark,
+    )
+    from zvdb_tpu.parallel.mesh import make_mesh
+    from zvdb_tpu.parallel.sharded import ShardedHNSW
+
+    dims = [int(v) for v in args.dims.split(",")]
+    ks = [int(v) for v in args.ks.split(",")]
+    rng = np.random.default_rng(1234)
+    sink = open(args.out, "a") if args.out else None
+    results = []
+
+    for d in dims:
+        x = random_points(rng, args.points, d)
+        q = random_points(rng, args.queries, d)
+        gt = ground_truth_host(x, q, max(ks), args.metric)[1] if args.recall else None
+
+        if args.devices > 1:
+            mesh = make_mesh(n_shards=args.devices)
+            factory = lambda: ShardedHNSW(
+                HNSWConfig(dim=d, m=args.m, ef_construction=args.efc,
+                           metric=args.metric, build_batch=args.build_batch),
+                mesh=mesh,
+            )
+        else:
+            factory = lambda: HNSW(
+                HNSWConfig(dim=d, m=args.m, ef_construction=args.efc,
+                           metric=args.metric, build_batch=args.build_batch)
+            )
+
+        idx, ins = run_insertion_benchmark(factory, x, num_devices=args.devices)
+        print(ins, file=sys.stderr, flush=True)
+        results.append(ins)
+        if sink:
+            sink.write(ins.to_json() + "\n")
+
+        for k in ks:
+            _, sr = run_search_benchmark(
+                idx, q, k, args.ef, gt=gt, num_devices=args.devices, warmup=1
+            )
+            print(sr, file=sys.stderr, flush=True)
+            results.append(sr)
+            if sink:
+                sink.write(sr.to_json() + "\n")
+                sink.flush()
+
+    print(json.dumps([r.to_json() for r in results][-1]))
+    if sink:
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()

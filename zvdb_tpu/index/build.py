@@ -175,6 +175,21 @@ def _reverse_pass(
 
 def build_batch_impl(
     state: HNSWState,
+    xb: jax.Array,
+    lb: jax.Array,
+    extb: jax.Array,
+    valid: jax.Array,
+    cfg: HNSWConfig,
+    levels_cap: int,
+) -> HNSWState:
+    if cfg.precision != "default":
+        with jax.default_matmul_precision(cfg.precision):
+            return _build_batch_body(state, xb, lb, extb, valid, cfg, levels_cap)
+    return _build_batch_body(state, xb, lb, extb, valid, cfg, levels_cap)
+
+
+def _build_batch_body(
+    state: HNSWState,
     xb: jax.Array,        # [B, D] f32 batch vectors (raw)
     lb: jax.Array,        # [B] int32 batch levels (-1 for padding)
     extb: jax.Array,      # [B] int32 external ids
@@ -222,23 +237,61 @@ def build_batch_impl(
     )
 
     layer_beams = {}
-    seed_r, seed_s = ep[:, None], ep_s[:, None]
-    for ell in range(levels_cap, 0, -1):
-        bs, br = beam_layer(
-            state, q, seed_r, seed_s, state.nbrU[ell - 1],
-            ef=cfg.ef_construction_upper, metric=metric, expand=1,
+    if cfg.upper_beam:
+        # canonical: ef-beam at every layer (one while_loop per layer)
+        seed_r, seed_s = ep[:, None], ep_s[:, None]
+        for ell in range(levels_cap, 0, -1):
+            bs, br = beam_layer(
+                state, q, seed_r, seed_s, state.nbrU[ell - 1],
+                ef=cfg.ef_construction_upper, metric=metric,
+                expand=cfg.build_expand, limit_n=prefix_n,
+            )
+            layer_beams[ell] = (bs, br)
+            better = bs[:, :1] < seed_s[:, :1]
+            seed_r = jnp.where(better & (br[:, :1] >= 0), br[:, :1], seed_r)
+            seed_s = jnp.where(better, bs[:, :1], seed_s)
+        bs0, br0 = beam_layer(
+            state, q, seed_r, seed_s, state.nbr0,
+            ef=cfg.ef_construction, metric=metric, expand=cfg.build_expand,
             limit_n=prefix_n,
         )
-        layer_beams[ell] = (bs, br)
-        better = bs[:, :1] < seed_s[:, :1]
-        seed_r = jnp.where(better & (br[:, :1] >= 0), br[:, :1], seed_r)
-        seed_s = jnp.where(better, bs[:, :1], seed_s)
-    bs0, br0 = beam_layer(
-        state, q, seed_r, seed_s, state.nbr0,
-        ef=cfg.ef_construction, metric=metric, expand=1,
-        limit_n=prefix_n,
-    )
-    layer_beams[0] = (bs0, br0)
+        layer_beams[0] = (bs0, br0)
+    else:
+        # fast path: greedy descent through upper layers (recording the local
+        # minimum per layer), one ef_construction beam at the base layer only.
+        # Upper-layer edge candidates are level-filtered base candidates — upper
+        # layers only route searches, so this trades negligible routing quality
+        # for an L-fold reduction in build while_loops.
+        from .hnsw import _greedy_layer
+
+        seed_r, seed_s = ep, ep_s
+        path = {}
+        for ell in range(levels_cap, 0, -1):
+            seed_r, seed_s = _greedy_layer(
+                state, q, seed_r, seed_s, state.nbrU[ell - 1], metric, 32
+            )
+            path[ell] = (seed_s, seed_r)
+        bs0, br0 = beam_layer(
+            state, q, seed_r[:, None], seed_s[:, None], state.nbr0,
+            ef=cfg.ef_construction, metric=metric, expand=cfg.build_expand,
+            limit_n=prefix_n,
+        )
+        layer_beams[0] = (bs0, br0)
+        cand_lv = jnp.take(state.levels, jnp.maximum(br0, 0))
+        for ell in range(1, levels_cap + 1):
+            ok = (br0 >= 0) & (cand_lv >= ell)
+            g_s = jnp.where(ok, bs0, INF)
+            g_r = jnp.where(ok, br0, -1)
+            ps, pr = path[ell]
+            # the greedy-path node is a valid layer-l candidate only if it
+            # actually reaches layer l (the entry seed may sit lower)
+            p_ok = (pr >= 0) & (jnp.take(state.levels, jnp.maximum(pr, 0)) >= ell)
+            ps = jnp.where(p_ok, ps, INF)
+            pr = jnp.where(p_ok, pr, -1)
+            layer_beams[ell] = (
+                jnp.concatenate([ps[:, None], g_s], axis=-1),
+                jnp.concatenate([pr[:, None], g_r], axis=-1),
+            )
 
     # ---- 3. intra-batch brute-force candidates --------------------------
     intra = D.pairwise_scores(q, stored, jnp.where(valid, qn, INF), metric)  # [B, B]

@@ -276,12 +276,27 @@ def search_state_impl(
     max_iters: Optional[int] = None,
     max_upper_iters: int = 32,
     levels_cap: int = 1,
+    precision: str = "float32",
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
     scores are user-facing (squared L2 per the reference contract, or similarity
     for dot/cosine). Empty slots: score inf/-inf, ids -1.
     """
+    if precision != "default":
+        with jax.default_matmul_precision(precision):
+            return _search_state_body(
+                state, q, k, metric, ef, expand, max_iters, max_upper_iters,
+                levels_cap,
+            )
+    return _search_state_body(
+        state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap
+    )
+
+
+def _search_state_body(
+    state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap
+):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
     ep, ep_score = descend(
@@ -307,7 +322,8 @@ def search_state_impl(
 search_state = jax.jit(
     search_state_impl,
     static_argnames=(
-        "k", "metric", "ef", "expand", "max_iters", "max_upper_iters", "levels_cap"
+        "k", "metric", "ef", "expand", "max_iters", "max_upper_iters",
+        "levels_cap", "precision",
     ),
 )
 
@@ -436,6 +452,7 @@ class HNSW:
                     self.state, q, k, self.cfg.metric, ef,
                     expand=sc.expand, max_iters=sc.max_iters,
                     max_upper_iters=sc.max_upper_iters, levels_cap=self.levels_cap,
+                    precision=self.cfg.precision,
                 )
             if squeeze:
                 return s[0], i[0]

@@ -182,6 +182,7 @@ class ShardedHNSW:
                     st, q, k, cfg.metric, ef,
                     expand=scfg.expand, max_iters=scfg.max_iters,
                     max_upper_iters=scfg.max_upper_iters, levels_cap=levels_cap,
+                    precision=cfg.precision,
                 )
                 return s[:, None, :], ext[:, None, :]   # [Bl, 1, k]
 

@@ -46,6 +46,20 @@ class HNSWConfig:
     build_batch: int = 1024
     # Beam width used for the upper-layer candidate searches during build.
     ef_construction_upper: int = 32
+    # Matmul precision for distance computations. TPU defaults to bf16-input
+    # matmuls, whose ~4e-3 relative error swamps neighbor-distance gaps on
+    # concentrated data (uniform-random especially) and craters recall.
+    # "float32" = exact; "bfloat16_3x" = 3-pass bf16 (near-f32, ~3x MXU rate);
+    # "default" = platform default (bf16 on TPU; fastest, lossy).
+    precision: str = "float32"
+    # Build-time beam batched-expansion width (candidates expanded per hop).
+    build_expand: int = 4
+    # Run a full beam search at every upper layer during build (canonical but
+    # slow: one while_loop per layer per batch). Off = greedy descent only;
+    # upper-layer edges come from level-filtered base candidates + intra-batch.
+    # Upper layers only route searches, so the quality cost is tiny and the
+    # build-time win is large (one beam search per batch instead of L+1).
+    upper_beam: bool = False
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
@@ -70,8 +84,11 @@ class SearchConfig:
     reference src/hnsw.zig:211)."""
 
     ef_search: int = 64
-    # Number of beam entries expanded per hop (batched expansion).
-    expand: int = 1
+    # Number of beam entries expanded per hop (batched expansion): fewer,
+    # fatter hops — the TPU-friendly tradeoff (each while_loop iteration costs
+    # fixed latency; expanding 8 at once cuts hop count ~8x for a small
+    # extra-candidate cost).
+    expand: int = 8
     # Max hops in the layer-0 beam loop; None -> derived (ef_search + slack).
     max_iters: Optional[int] = None
     # Max greedy hops per upper layer.
