@@ -1,0 +1,112 @@
+"""IVF-Flat engine: recall, balance, incremental adds, persistence, metrics."""
+import numpy as np
+import pytest
+
+from zvdb_tpu import IVFConfig, IVFIndex, exact_ground_truth
+
+
+def recall_at_k(ids, gt_ids, k):
+    return np.mean(
+        [len(set(ids[r, :k]) & set(gt_ids[r, :k])) / k for r in range(ids.shape[0])]
+    )
+
+
+def clustered(n, d, seed, nc=50):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    a = rng.integers(0, nc, n)
+    return (centers[a] + 0.15 * rng.standard_normal((n, d))).astype(np.float32)
+
+
+def test_ivf_recall_l2(rng):
+    n, d, k = 20000, 32, 10
+    x = clustered(n, d, seed=1)
+    q = x[rng.integers(0, n, 200)] + 0.05 * rng.standard_normal((200, d)).astype(np.float32)
+    q = q.astype(np.float32)
+    _, gt = exact_ground_truth(x, q, k)
+    idx = IVFIndex(IVFConfig(dim=d, n_clusters=64, nprobe=8))
+    idx.build(x)
+    _, ids = idx.search(q, k)
+    r = recall_at_k(np.asarray(ids), gt, k)
+    assert r >= 0.92, f"ivf recall {r:.3f}"
+    # full probe == exact
+    _, ids_full = idx.search(q, k, nprobe=64)
+    r_full = recall_at_k(np.asarray(ids_full), gt, k)
+    assert r_full >= 0.999, f"full-probe recall {r_full:.4f}"
+
+
+def test_ivf_recall_improves_with_nprobe(rng):
+    n, d, k = 10000, 16, 10
+    x = clustered(n, d, seed=2)
+    q = clustered(300, d, seed=3)
+    _, gt = exact_ground_truth(x, q, k)
+    idx = IVFIndex(IVFConfig(dim=d, n_clusters=64))
+    idx.build(x)
+    rs = []
+    for npb in (1, 4, 16, 64):
+        _, ids = idx.search(q, k, nprobe=npb)
+        rs.append(recall_at_k(np.asarray(ids), gt, k))
+    assert rs == sorted(rs) or rs[-1] > 0.99
+    assert rs[-1] >= 0.999
+
+
+def test_ivf_cosine_and_dot(rng):
+    n, d, k = 5000, 24, 5
+    x = clustered(n, d, seed=4)
+    q = clustered(100, d, seed=5)
+    for metric in ("cosine", "dot"):
+        _, gt = exact_ground_truth(x, q, k, metric=metric)
+        idx = IVFIndex(IVFConfig(dim=d, n_clusters=32, nprobe=16, metric=metric))
+        idx.build(x)
+        s, ids = idx.search(q, k)
+        r = recall_at_k(np.asarray(ids), gt, k)
+        assert r >= 0.9, f"{metric} recall {r:.3f}"
+        s = np.asarray(s)
+        assert (np.diff(s, axis=1) <= 1e-5).all()  # similarity descending
+
+
+def test_ivf_block_balance(rng):
+    x = clustered(8000, 16, seed=6)
+    idx = IVFIndex(IVFConfig(dim=16, n_clusters=32, max_cluster_factor=1.5))
+    idx.build(x)
+    counts = np.asarray(idx.state.counts)
+    cap = idx.state.blocks.shape[1]
+    assert counts.sum() == 8000
+    assert (counts <= cap).all()
+    ids = np.asarray(idx.state.b_ids)
+    live = ids[ids >= 0]
+    assert len(live) == 8000 and len(set(live.tolist())) == 8000
+
+
+def test_ivf_incremental_add(rng):
+    x = clustered(4000, 16, seed=7)
+    idx = IVFIndex(IVFConfig(dim=16, n_clusters=32, nprobe=8))
+    idx.build(x[:3000])
+    idx.add(x[3000:])
+    assert len(idx) == 4000
+    # note: flush re-packs ids; search for a newly added exact point
+    s, ids = idx.search(x[3500], 1, nprobe=32)
+    assert float(np.asarray(s)[0]) < 1e-6
+
+
+def test_ivf_save_load(tmp_path, rng):
+    x = clustered(3000, 16, seed=8)
+    idx = IVFIndex(IVFConfig(dim=16, n_clusters=32))
+    idx.build(x)
+    q = clustered(20, 16, seed=9)
+    s0, i0 = idx.search(q, 5)
+    p = str(tmp_path / "ivf.npz")
+    idx.save(p)
+    loaded = IVFIndex.load(p)
+    s1, i1 = loaded.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_ivf_empty_and_k_gt_n(rng):
+    idx = IVFIndex(IVFConfig(dim=8, n_clusters=8))
+    s, ids = idx.search(np.zeros((2, 8), np.float32), 3)
+    assert (np.asarray(ids) == -1).all()
+    idx.build(clustered(5, 8, seed=10))
+    s, ids = idx.search(np.zeros((1, 8), np.float32), 10, nprobe=8)
+    ids = np.asarray(ids)
+    assert (ids >= 0).sum() == 5

@@ -17,11 +17,14 @@ src/zvdb.zig:1; we keep that plus the engine pieces around it):
 from .utils.config import FlatConfig, HNSWConfig, SearchConfig
 from .index.flat import FlatIndex, exact_ground_truth
 from .index.hnsw import HNSW, HNSWState
+from .index.ivf import IVFConfig, IVFIndex
 
 __all__ = [
     "HNSW",
     "HNSWState",
     "FlatIndex",
+    "IVFIndex",
+    "IVFConfig",
     "exact_ground_truth",
     "HNSWConfig",
     "SearchConfig",

@@ -64,7 +64,9 @@ def select_neighbors(
     alpha: float,
     metric: str,
 ) -> jax.Array:
-    """Pick up to m_out diverse neighbors per row. Returns ids [R, m_out] (-1 pad).
+    """Pick up to m_out diverse neighbors per row.
+
+    Returns (ids [R, m_out] (-1 pad), true_distances [R, m_out] (+inf pad)).
 
     Parallel relative-neighborhood rule: candidate c is pruned if some candidate
     e ranked strictly closer to the base satisfies alpha*d(c,e) < d(base,c).
@@ -98,8 +100,12 @@ def select_neighbors(
     keep = valid & ~pruned
     priority = jnp.where(keep, d_b, d_b + _BIG)
     priority = jnp.where(valid, priority, INF)
-    _, sel = T.smallest_k(priority, cand, m_out)
-    return sel
+    _, pos = jax.lax.top_k(-priority, m_out)
+    sel = jnp.take_along_axis(cand, pos, axis=-1)
+    sel_d = jnp.take_along_axis(d_b, pos, axis=-1)
+    sel = jnp.where(jnp.isfinite(sel_d), sel, -1)
+    sel_d = jnp.where(sel >= 0, sel_d, INF)
+    return sel, sel_d
 
 
 # ---------------------------------------------------------------------------
@@ -107,33 +113,41 @@ def select_neighbors(
 
 
 def _reverse_pass(
-    state: HNSWState,
     nbr_table: jax.Array,   # [cap+1, degree] adjacency for this layer
+    dist_table: jax.Array,  # [cap+1, degree] true edge distances
     src_rows: jax.Array,    # [B] batch rows
     fwd: jax.Array,         # [B, m] forward-selected neighbors (-1 pad)
+    fwd_d: jax.Array,       # [B, m] true distances of those edges
     degree: int,
-    rev_window: int,
-    alpha: float,
-    metric: str,
-) -> jax.Array:
-    """Add reverse edges src->tgt for every forward edge tgt, re-pruning each
-    touched target row to `degree` with the diversity rule.
+):
+    """Add reverse edges src->tgt for every forward edge tgt, keeping each
+    touched target row's `degree` nearest edges.
+
+    Entirely gather-free: edge distances are stored alongside the adjacency
+    (d(src,tgt) of a reverse edge is the same value as the forward edge's), so
+    the merge is pure scalar top-k — no vector rows are fetched. This is the
+    TPU answer to shrinkConnections (reference src/hnsw.zig:143-170, which
+    recomputes distances per comparison): row gathers cost ~6-9ns/row on TPU
+    regardless of row width, so the O(B*m) re-pruning must not touch vectors.
 
     Scatter-contention-free: edges sorted by target; each target's first
-    occurrence computes and writes the merged row; other occurrences write to
-    the trash row (index cap).
+    occurrence computes and writes the merged row; all other occurrences write
+    to the trash row (index cap). Returns (nbr_table, dist_table).
     """
     b, m = fwd.shape
     p = b * m
     cap_trash = nbr_table.shape[0] - 1
+    rev_window = degree
 
     tgt = fwd.reshape(p)
     src = jnp.repeat(src_rows, m)
+    d = fwd_d.reshape(p)
     valid = tgt >= 0
     key = jnp.where(valid, tgt, jnp.int32(2**30))
     order = jnp.argsort(key, stable=True)
     st = tgt[order]
     ss = src[order]
+    sd = d[order]
     sv = valid[order]
 
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), st[:-1]])
@@ -142,31 +156,25 @@ def _reverse_pass(
     # window of up to rev_window sources per target
     pos = jnp.arange(p)
     win = jnp.clip(pos[:, None] + jnp.arange(rev_window)[None, :], 0, p - 1)
-    wt = st[win]
-    ws = ss[win]
-    same = (wt == st[:, None]) & sv[:, None] & (win < p)
-    rev = jnp.where(same, ws, -1)                        # [P, W] new sources
+    same = (st[win] == st[:, None]) & sv[:, None]
+    rev = jnp.where(same, ss[win], -1)                   # [P, W] new sources
+    rev_d = jnp.where(same, sd[win], INF)
 
     st_safe = jnp.maximum(st, 0)
     existing = jnp.take(nbr_table, st_safe, axis=0)      # [P, degree]
+    existing_d = jnp.take(dist_table, st_safe, axis=0)
+
     cand = jnp.concatenate([existing, rev], axis=-1)     # [P, degree + W]
+    cand_d = jnp.concatenate([existing_d, rev_d], axis=-1)
+    cand_d = jnp.where(cand >= 0, cand_d, INF)
+    cand_d, cand = T.mask_duplicate_ids(cand_d, cand)
 
-    base_vec = jnp.take(state.vectors, st_safe, axis=0).astype(jnp.float32)
-    base_norm = jnp.take(state.norms, st_safe, axis=0)
-    scores = D.gathered_scores(
-        base_vec,
-        jnp.take(state.vectors, jnp.maximum(cand, 0), axis=0),
-        jnp.take(state.norms, jnp.maximum(cand, 0), axis=0),
-        metric,
-    )
-    scores = jnp.where(cand >= 0, scores, INF)
-    scores, cand = T.mask_duplicate_ids(scores, cand)
-
-    new_rows = select_neighbors(
-        state, base_vec, base_norm, cand, scores, degree, alpha, metric
-    )
+    new_d, new_rows = T.smallest_k(cand_d, cand, degree)
     write_at = jnp.where(first, st, cap_trash)
-    return nbr_table.at[write_at].set(new_rows)
+    return (
+        nbr_table.at[write_at].set(new_rows),
+        dist_table.at[write_at].set(new_d),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +307,7 @@ def _build_batch_body(
     intra = jnp.where(eye | ~valid[None, :], INF, intra)
 
     nbr0_t, nbrU_t = state.nbr0, state.nbrU
+    dist0_t, distU_t = state.dist0, state.distU
     fwd_by_layer = {}
     for ell in range(0, levels_cap + 1):
         degree = m0 if ell == 0 else m
@@ -319,31 +328,48 @@ def _build_batch_body(
         c_r = jnp.concatenate([g_r, i_rows], axis=-1)
         c_s, c_r = T.mask_duplicate_ids(c_s, c_r)
 
-        fwd = select_neighbors(state, q, qn, c_r, c_s, m, cfg.alpha, metric)
+        fwd, fwd_d = select_neighbors(state, q, qn, c_r, c_s, m, cfg.alpha, metric)
         fwd = jnp.where(active[:, None], fwd, -1)
-        fwd_by_layer[ell] = fwd
+        fwd_d = jnp.where(fwd >= 0, fwd_d, INF)
+        fwd_by_layer[ell] = (fwd, fwd_d)
 
-        row_block = jnp.concatenate(
-            [fwd, jnp.full((b, degree - m), -1, jnp.int32)], axis=-1
-        ) if degree > m else fwd[:, :degree]
+        pad_w = degree - m
+        if pad_w > 0:
+            row_ids = jnp.concatenate(
+                [fwd, jnp.full((b, pad_w), -1, jnp.int32)], axis=-1
+            )
+            row_ds = jnp.concatenate(
+                [fwd_d, jnp.full((b, pad_w), INF, jnp.float32)], axis=-1
+            )
+        else:
+            row_ids, row_ds = fwd[:, :degree], fwd_d[:, :degree]
         if ell == 0:
-            nbr0_t = jax.lax.dynamic_update_slice(nbr0_t, row_block, (base, 0))
+            nbr0_t = jax.lax.dynamic_update_slice(nbr0_t, row_ids, (base, 0))
+            dist0_t = jax.lax.dynamic_update_slice(dist0_t, row_ds, (base, 0))
         else:
             nbrU_t = jax.lax.dynamic_update_slice(
-                nbrU_t, row_block[None], (ell - 1, base, 0)
+                nbrU_t, row_ids[None], (ell - 1, base, 0)
             )
-    state = state._replace(nbr0=nbr0_t, nbrU=nbrU_t)
+            distU_t = jax.lax.dynamic_update_slice(
+                distU_t, row_ds[None], (ell - 1, base, 0)
+            )
+    state = state._replace(nbr0=nbr0_t, nbrU=nbrU_t, dist0=dist0_t, distU=distU_t)
 
-    # ---- 4. reverse edges ----------------------------------------------
-    nbr0_t = _reverse_pass(
-        state, state.nbr0, rows, fwd_by_layer[0], m0, m, cfg.alpha, metric
+    # ---- 4. reverse edges (gather-free nearest-degree merge) -------------
+    fwd0, fwd0_d = fwd_by_layer[0]
+    nbr0_t, dist0_t = _reverse_pass(
+        state.nbr0, state.dist0, rows, fwd0, fwd0_d, m0
     )
-    state = state._replace(nbr0=nbr0_t)
+    state = state._replace(nbr0=nbr0_t, dist0=dist0_t)
     for ell in range(1, levels_cap + 1):
-        tab = _reverse_pass(
-            state, state.nbrU[ell - 1], rows, fwd_by_layer[ell], m, m, cfg.alpha, metric
+        fwdl, fwdl_d = fwd_by_layer[ell]
+        tab, dtab = _reverse_pass(
+            state.nbrU[ell - 1], state.distU[ell - 1], rows, fwdl, fwdl_d, m
         )
-        state = state._replace(nbrU=state.nbrU.at[ell - 1].set(tab))
+        state = state._replace(
+            nbrU=state.nbrU.at[ell - 1].set(tab),
+            distU=state.distU.at[ell - 1].set(dtab),
+        )
 
     # ---- 5. bookkeeping -------------------------------------------------
     lb_masked = jnp.where(valid, lb, -1)
@@ -460,6 +486,8 @@ def extend_graph(
             norms=grown.norms.at[:capacity].set(state.norms),
             nbr0=grown.nbr0.at[:capacity].set(state.nbr0[:-1]),
             nbrU=grown.nbrU.at[:, :capacity].set(state.nbrU[:, :-1]),
+            dist0=grown.dist0.at[:capacity].set(state.dist0[:-1]),
+            distU=grown.distU.at[:, :capacity].set(state.distU[:, :-1]),
             levels=grown.levels.at[:capacity].set(state.levels),
             ext_ids=grown.ext_ids.at[:capacity].set(state.ext_ids),
             entry=state.entry,

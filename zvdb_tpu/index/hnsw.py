@@ -48,6 +48,11 @@ class HNSWState(NamedTuple):
     norms: jax.Array      # [cap] f32
     nbr0: jax.Array       # [cap+1, M0] int32
     nbrU: jax.Array       # [L, cap+1, M] int32
+    # True metric distance of each edge (squared L2, or -dot), +inf padded.
+    # Stored so reverse-edge re-pruning during build needs NO vector gathers
+    # (row gathers are the TPU bottleneck: ~6-9ns/row regardless of width).
+    dist0: jax.Array      # [cap+1, M0] f32
+    distU: jax.Array      # [L, cap+1, M] f32
     levels: jax.Array     # [cap] int32, -1 unused
     ext_ids: jax.Array    # [cap] int32
     entry: jax.Array      # scalar int32 internal row (-1 = empty)
@@ -71,6 +76,8 @@ def init_state(capacity: int, cfg: HNSWConfig, levels_cap: Optional[int] = None)
         norms=jnp.zeros((capacity,), jnp.float32),
         nbr0=jnp.full((capacity + 1, cfg.base_degree), -1, jnp.int32),
         nbrU=jnp.full((L, capacity + 1, cfg.m), -1, jnp.int32),
+        dist0=jnp.full((capacity + 1, cfg.base_degree), jnp.inf, jnp.float32),
+        distU=jnp.full((L, capacity + 1, cfg.m), jnp.inf, jnp.float32),
         levels=jnp.full((capacity,), -1, jnp.int32),
         ext_ids=jnp.full((capacity,), -1, jnp.int32),
         entry=jnp.asarray(-1, jnp.int32),

@@ -37,6 +37,8 @@ def save_hnsw(path: str, index) -> None:
             "norms": np.asarray(st.norms),
             "nbr0": np.asarray(st.nbr0),
             "nbrU": np.asarray(st.nbrU),
+            "dist0": np.asarray(st.dist0),
+            "distU": np.asarray(st.distU),
             "levels": np.asarray(st.levels),
             "ext_ids": np.asarray(st.ext_ids),
             "entry": np.asarray(st.entry),
@@ -65,6 +67,8 @@ def load_hnsw(path: str):
                 norms=jnp.asarray(z["norms"]),
                 nbr0=jnp.asarray(z["nbr0"]),
                 nbrU=jnp.asarray(z["nbrU"]),
+                dist0=jnp.asarray(z["dist0"]),
+                distU=jnp.asarray(z["distU"]),
                 levels=jnp.asarray(z["levels"]),
                 ext_ids=jnp.asarray(z["ext_ids"]),
                 entry=jnp.asarray(z["entry"]),
