@@ -50,12 +50,23 @@ def _ingest(state: FlatState, x: jax.Array, metric: str, dtype_name: str) -> Fla
     return FlatState(vecs, ns, state.n + b)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n"))
-def _search(state: FlatState, q: jax.Array, k: int, metric: str, tile_n: int):
-    """Exact top-k: scan corpus tiles, merge running top-k. Returns (scores, ids).
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "approx", "recall_target", "precision"),
+)
+def _search(
+    state: FlatState, q: jax.Array, k: int, metric: str, tile_n: int,
+    approx: bool = False, recall_target: float = 0.95, precision: str = "highest",
+):
+    """Top-k: scan corpus tiles, merge running top-k. Returns (scores, ids).
 
-    Scores are user-facing (squared L2 distance, or similarity for dot/cosine as
-    ranked ascending-surrogate then finalized).
+    approx=True uses the TPU's hardware-optimized partial-reduce top-k
+    (lax.approx_min_k, the TPU-KNN design — PAPERS.md) with exact MXU scoring:
+    per-query selection recall >= recall_target, at a fraction of full-sort
+    cost. This is the speed-of-light path for the brute-force engine.
+
+    Scores are user-facing (squared L2 distance, or similarity for dot/cosine
+    as ranked ascending-surrogate then finalized).
     """
     cap = state.vectors.shape[0]
     tile = min(tile_n, cap)
@@ -80,16 +91,25 @@ def _search(state: FlatState, q: jax.Array, k: int, metric: str, tile_n: int):
     def body(carry, inputs):
         t_idx, vecs, norms = inputs
         best_s, best_i = carry
-        s = D.pairwise_scores(
-            qs, vecs, norms, metric, precision=jax.lax.Precision.HIGHEST
-        )  # [B, tile] — exact-oracle path, full f32 precision
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+        s = D.pairwise_scores(qs, vecs, norms, metric, precision=prec)  # [B, tile]
         base = t_idx * tile
         local_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = (local_ids < state.n) & (local_ids < cap)
         s = jnp.where(valid, s, jnp.inf)
         local_ids = jnp.where(valid, local_ids, -1)
         kk = min(k, tile)
-        ts, ti = T.smallest_k(s, local_ids, kk)
+        if approx:
+            tv, tp = jax.lax.approx_min_k(s, kk, recall_target=recall_target)
+            ti = jnp.take_along_axis(local_ids, tp, axis=-1)
+            ts = jnp.where(ti >= 0, tv, jnp.inf)
+            ti = jnp.where(jnp.isfinite(ts), ti, -1)
+        else:
+            ts, ti = T.smallest_k(s, local_ids, kk)
         if kk < k:
             ts = jnp.pad(ts, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
             ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -151,8 +171,12 @@ class FlatIndex:
 
     insert = add  # reference-parity alias (src/hnsw.zig:73)
 
-    def search(self, q, k: int):
-        """Exact top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
+    def search(self, q, k: int, approx: bool = False):
+        """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
+
+        approx=False: exact (full sort). approx=True: hardware partial-reduce
+        top-k with per-query selection recall >= cfg.recall_target (TPU-KNN
+        path — scoring is still a dense MXU matmul either way).
 
         Empty index -> all ids are -1 (reference: empty result, src/hnsw.zig:201).
         k > n -> trailing slots have id -1 (reference returns n results,
@@ -170,7 +194,11 @@ class FlatIndex:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
         else:
-            s, i = _search(self.state, q, k, self.cfg.metric, self.cfg.tile_n)
+            s, i = _search(
+                self.state, q, k, self.cfg.metric, self.cfg.tile_n,
+                approx=approx, recall_target=self.cfg.recall_target,
+                precision=self.cfg.precision,
+            )
         if squeeze:
             return s[0], i[0]
         return s, i

@@ -131,38 +131,52 @@ def kmeans(x: np.ndarray, n_clusters: int, iters: int, key: jax.Array,
 # balanced block assignment (host)
 
 
-def balanced_assign(cand_ids: np.ndarray, cand_d: np.ndarray, n_clusters: int,
-                    cap: int) -> np.ndarray:
-    """Assign each point to its nearest candidate cluster that still has room.
+def _two_means(sub: np.ndarray, rng: np.random.Generator, iters: int = 4):
+    """Tiny 2-means for cluster splitting (numpy; sub is one cluster's points)."""
+    n = sub.shape[0]
+    sel = rng.choice(n, 2, replace=False)
+    c0, c1 = sub[sel[0]].copy(), sub[sel[1]].copy()
+    for _ in range(iters):
+        d0 = ((sub - c0) ** 2).sum(-1)
+        d1 = ((sub - c1) ** 2).sum(-1)
+        m0 = d0 <= d1
+        if m0.all() or (~m0).all():
+            m0 = np.arange(n) < n // 2
+        c0 = sub[m0].mean(0)
+        c1 = sub[~m0].mean(0)
+    return c0, c1
 
-    cand_ids/[N,P]: per-point candidate clusters sorted by distance.
-    Guarantees counts <= cap as long as N <= n_clusters * cap.
+
+def split_oversized(x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
+                    cap: int, rng: np.random.Generator):
+    """Split clusters that exceed `cap` into two local sub-clusters until all fit.
+
+    This replaces capacity-displacement balancing: displacing a point to a
+    far-away cluster with space makes it unreachable by realistic probe lists
+    (on concentrated data the displaced cluster lands at an effectively random
+    probe rank — measured as a hard recall ceiling). Splitting keeps every
+    point under a centroid that genuinely represents it; probe ordering stays
+    meaningful. Returns (centroids, assign) with len(centroids) grown.
     """
-    n, p = cand_ids.shape
-    counts = np.zeros(n_clusters, np.int64)
-    out = np.full(n, -1, np.int64)
-    order = np.argsort(cand_d[:, 0], kind="stable")
-    spill = []
-    for i in order:
-        placed = False
-        for j in range(p):
-            c = cand_ids[i, j]
-            if counts[c] < cap:
-                out[i] = c
-                counts[c] += 1
-                placed = True
-                break
-        if not placed:
-            spill.append(i)
-    if spill:
-        open_c = np.where(counts < cap)[0]
-        oi = 0
-        for i in spill:
-            while counts[open_c[oi]] >= cap:
-                oi += 1
-            out[i] = open_c[oi]
-            counts[out[i]] += 1
-    return out
+    cent = [c for c in cent]
+    assign = assign.astype(np.int64).copy()
+    while True:
+        counts = np.bincount(assign, minlength=len(cent))
+        over = np.where(counts > cap)[0]
+        if len(over) == 0:
+            break
+        for c in over:
+            pts = np.where(assign == c)[0]
+            c0, c1 = _two_means(x[pts], rng)
+            d0 = ((x[pts] - c0) ** 2).sum(-1)
+            d1 = ((x[pts] - c1) ** 2).sum(-1)
+            m0 = d0 <= d1
+            if m0.all() or (~m0).all():
+                m0 = np.arange(len(pts)) < len(pts) // 2
+            cent[c] = c0
+            cent.append(c1)
+            assign[pts[~m0]] = len(cent) - 1
+    return np.asarray(cent, np.float32), assign
 
 
 # ---------------------------------------------------------------------------
@@ -255,46 +269,52 @@ class IVFIndex:
 
             cap = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
             cap = max(cap, 8)
-            # candidate clusters per point for balanced placement
-            p = min(8, c)
-            centj = jnp.asarray(cent)
-            cn = D.sq_norms(centj)
-            xd = jnp.asarray(x)
-            cand_d_list, cand_i_list = [], []
-            tile = 16384
-            for lo in range(0, n, tile):
-                cs = D.pairwise_scores(
-                    xd[lo:lo + tile], centj, cn, cfg.metric
-                )
-                tv, ti = jax.lax.top_k(-cs, p)
-                cand_d_list.append(np.asarray(-tv))
-                cand_i_list.append(np.asarray(ti))
-            cand_d = np.concatenate(cand_d_list) if n else np.zeros((0, p))
-            cand_i = np.concatenate(cand_i_list) if n else np.zeros((0, p), np.int64)
-            assign = balanced_assign(cand_i, cand_d, c, cap)
+            assign = self._nearest_assign(x, cent)
+            rng = np.random.default_rng(cfg.seed + 1)
+            cent, assign = split_oversized(x, cent, assign, cap, rng)
+            self.state = self._pack(x, cent, assign, cap)
 
-            # host-side packing into blocks
-            blocks = np.zeros((c, cap, cfg.dim), np.float32)
-            b_ids = np.full((c, cap), -1, np.int32)
-            counts = np.zeros(c, np.int32)
-            for i in range(n):
-                ci = assign[i]
-                blocks[ci, counts[ci]] = x[i]
-                b_ids[ci, counts[ci]] = i
-                counts[ci] += 1
-            b_norms = (blocks.astype(np.float64) ** 2).sum(-1).astype(np.float32) \
-                if cfg.metric == "l2" else np.zeros((c, cap), np.float32)
-            b_norms[b_ids < 0] = np.inf
+    def _nearest_assign(self, x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        """True nearest-centroid assignment for every point (tiled, on device)."""
+        n = x.shape[0]
+        centj = jnp.asarray(cent)
+        cn = D.sq_norms(centj)
+        out = []
+        tile = 16384
+        for lo in range(0, n, tile):
+            cs = D.pairwise_scores(jnp.asarray(x[lo:lo + tile]), centj, cn,
+                                   self.cfg.metric)
+            out.append(np.asarray(jnp.argmin(cs, axis=-1)))
+        return np.concatenate(out) if out else np.zeros((0,), np.int64)
 
-            self.state = IVFState(
-                centroids=jnp.asarray(cent),
-                c_norms=jnp.asarray(np.asarray(cn)),
-                blocks=jnp.asarray(blocks, cfg.storage_dtype),
-                b_norms=jnp.asarray(b_norms),
-                b_ids=jnp.asarray(b_ids),
-                counts=jnp.asarray(counts),
-                n=jnp.asarray(n, jnp.int32),
-            )
+    def _pack(self, x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
+              cap: int) -> IVFState:
+        cfg = self.cfg
+        n = x.shape[0]
+        c = cent.shape[0]
+        blocks = np.zeros((c, cap, cfg.dim), np.float32)
+        b_ids = np.full((c, cap), -1, np.int32)
+        counts = np.zeros(c, np.int32)
+        order = np.argsort(assign, kind="stable")
+        for i in order:
+            ci = assign[i]
+            blocks[ci, counts[ci]] = x[i]
+            b_ids[ci, counts[ci]] = i
+            counts[ci] += 1
+        b_norms = (blocks ** 2).sum(-1).astype(np.float32) if cfg.metric == "l2" \
+            else np.zeros((c, cap), np.float32)
+        b_norms[b_ids < 0] = np.inf
+        centj = jnp.asarray(cent, jnp.float32)
+        return IVFState(
+            centroids=centj,
+            c_norms=D.sq_norms(centj) if cfg.metric == "l2"
+            else jnp.zeros((c,), jnp.float32),
+            blocks=jnp.asarray(blocks, cfg.storage_dtype),
+            b_norms=jnp.asarray(b_norms),
+            b_ids=jnp.asarray(b_ids),
+            counts=jnp.asarray(counts),
+            n=jnp.asarray(n, jnp.int32),
+        )
 
     # -- incremental add --------------------------------------------------
     def add(self, x) -> None:
@@ -335,29 +355,11 @@ class IVFIndex:
         n = x.shape[0]
         c = cent.shape[0]
         cap = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
-        centj = jnp.asarray(cent)
-        cn = D.sq_norms(centj)
-        p = min(8, c)
-        cs = D.pairwise_scores(jnp.asarray(x), centj, cn, cfg.metric)
-        tv, ti = jax.lax.top_k(-cs, p)
-        assign = balanced_assign(np.asarray(ti), np.asarray(-tv), c, cap)
-        blocks = np.zeros((c, cap, cfg.dim), np.float32)
-        b_ids = np.full((c, cap), -1, np.int32)
-        counts = np.zeros(c, np.int32)
-        for i in range(n):
-            ci = assign[i]
-            blocks[ci, counts[ci]] = x[i]
-            b_ids[ci, counts[ci]] = i
-            counts[ci] += 1
-        b_norms = (blocks ** 2).sum(-1).astype(np.float32) if cfg.metric == "l2" \
-            else np.zeros((c, cap), np.float32)
-        b_norms[b_ids < 0] = np.inf
-        self.state = IVFState(
-            centroids=centj, c_norms=jnp.asarray(np.asarray(cn)),
-            blocks=jnp.asarray(blocks, cfg.storage_dtype),
-            b_norms=jnp.asarray(b_norms), b_ids=jnp.asarray(b_ids),
-            counts=jnp.asarray(counts), n=jnp.asarray(n, jnp.int32),
-        )
+        cap = max(cap, 8)
+        assign = self._nearest_assign(x, cent)
+        rng = np.random.default_rng(cfg.seed + 2)
+        cent2, assign = split_oversized(x, cent, assign, cap, rng)
+        self.state = self._pack(x, cent2, assign, cap)
 
     # -- search -----------------------------------------------------------
     def search(self, q, k: int, nprobe: Optional[int] = None):

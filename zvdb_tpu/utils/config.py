@@ -104,6 +104,11 @@ class FlatConfig:
     dtype: str = "float32"
     # Tile size over the corpus axis for memory-bounded exact search.
     tile_n: int = 131072
+    # Matmul precision for scoring: "highest" (exact-oracle), "high", "default"
+    # (bf16 on TPU — fastest, pairs with bfloat16 storage).
+    precision: str = "highest"
+    # Selection recall floor for the approximate top-k path (search(approx=True)).
+    recall_target: float = 0.95
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
