@@ -84,6 +84,21 @@ def test_exact_ground_truth_helper(rng):
     assert_topk_correct(x, q, i, 3, "l2")
 
 
+def test_int8_storage_close_to_exact(rng):
+    # int8 symmetric quantization: ranking nearly preserved, scores close
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    q = rng.standard_normal((50, 32)).astype(np.float32)
+    a = FlatIndex(FlatConfig(dim=32), capacity=2000)
+    b = FlatIndex(FlatConfig(dim=32, dtype="int8"), capacity=2000)
+    a.add(x)
+    b.add(x)
+    _, ia = a.search(q, 10)
+    _, ib = b.search(q, 10)
+    ia, ib = np.asarray(ia), np.asarray(ib)
+    overlap = np.mean([len(set(ia[r]) & set(ib[r])) / 10 for r in range(50)])
+    assert overlap >= 0.9, f"int8 overlap {overlap:.3f}"
+
+
 def test_dimension_mismatch_raises(rng):
     # reference panics on mismatched dims (src/hnsw.zig:184); we raise
     idx = FlatIndex(FlatConfig(dim=8), capacity=10)

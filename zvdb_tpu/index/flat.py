@@ -26,8 +26,9 @@ from ..utils.config import FlatConfig
 class FlatState(NamedTuple):
     """Device-resident flat index state (a pytree)."""
 
-    vectors: jax.Array   # [cap, D] storage dtype
+    vectors: jax.Array   # [cap, D] storage dtype (f32/bf16/int8 codes)
     norms: jax.Array     # [cap] f32 squared norms (zeros unless metric == l2)
+    scales: jax.Array    # [cap] f32 dequant scales (1.0 for float dtypes)
     n: jax.Array         # scalar int32 live count
 
 
@@ -36,18 +37,24 @@ def init_state(capacity: int, cfg: FlatConfig) -> FlatState:
         vectors=jnp.zeros((capacity, cfg.dim), cfg.storage_dtype),
         norms=jnp.full((capacity,), jnp.inf, jnp.float32) if cfg.metric == "l2"
         else jnp.zeros((capacity,), jnp.float32),
+        scales=jnp.ones((capacity,), jnp.float32),
         n=jnp.zeros((), jnp.int32),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "dtype_name"))
 def _ingest(state: FlatState, x: jax.Array, metric: str, dtype_name: str) -> FlatState:
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
-    stored, norms = D.preprocess_corpus(x, metric, dtype)
+    if dtype_name == "int8":
+        stored, scales, norms = D.quantize_corpus(x, metric)
+    else:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+        stored, norms = D.preprocess_corpus(x, metric, dtype)
+        scales = jnp.ones(x.shape[:-1], jnp.float32)
     b = x.shape[0]
     vecs = jax.lax.dynamic_update_slice(state.vectors, stored, (state.n, 0))
     ns = jax.lax.dynamic_update_slice(state.norms, norms, (state.n,))
-    return FlatState(vecs, ns, state.n + b)
+    sc = jax.lax.dynamic_update_slice(state.scales, scales, (state.n,))
+    return FlatState(vecs, ns, sc, state.n + b)
 
 
 @functools.partial(
@@ -82,6 +89,9 @@ def _search(
     norm_t = jnp.pad(state.norms, (0, pad_cap - cap), constant_values=jnp.inf).reshape(
         n_tiles, tile
     )
+    scale_t = jnp.pad(state.scales, (0, pad_cap - cap), constant_values=1.0).reshape(
+        n_tiles, tile
+    )
 
     init = (
         jnp.full((b, k), jnp.inf, jnp.float32),
@@ -89,14 +99,15 @@ def _search(
     )
 
     def body(carry, inputs):
-        t_idx, vecs, norms = inputs
+        t_idx, vecs, norms, scales = inputs
         best_s, best_i = carry
         prec = {
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
-        s = D.pairwise_scores(qs, vecs, norms, metric, precision=prec)  # [B, tile]
+        s = D.pairwise_scores(qs, vecs, norms, metric, precision=prec,
+                              x_scales=scales)  # [B, tile]
         base = t_idx * tile
         local_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = (local_ids < state.n) & (local_ids < cap)
@@ -116,7 +127,7 @@ def _search(
         return T.merge_topk(best_s, best_i, ts, ti, k), None
 
     (best_s, best_i), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_tiles, dtype=jnp.int32), vec_t, norm_t)
+        body, init, (jnp.arange(n_tiles, dtype=jnp.int32), vec_t, norm_t, scale_t)
     )
     out = D.finalize_scores(best_s, qs, metric)
     out = jnp.where(best_i >= 0, out, jnp.inf if metric == "l2" else -jnp.inf)
@@ -153,6 +164,7 @@ class FlatIndex:
             self.state = FlatState(
                 vectors=grown.vectors.at[: self.capacity].set(old.vectors),
                 norms=grown.norms.at[: self.capacity].set(old.norms),
+                scales=grown.scales.at[: self.capacity].set(old.scales),
                 n=old.n,
             )
             self.capacity = new_cap

@@ -19,6 +19,7 @@ that contract for reported l2 values.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,23 @@ def preprocess_corpus(x: jax.Array, metric: str, dtype=jnp.float32):
     return stored, norms
 
 
+def quantize_corpus(x: jax.Array, metric: str):
+    """Symmetric per-vector int8 quantization (the idiomatic analog of the
+    reference's integer HNSW instantiation, src/test_hnsw.zig:239-273).
+
+    Returns (codes int8 [..., D], scales f32 [...], sq_norms f32 [...]).
+    Reconstruction: x_i ~= scales_i * codes_i; norms are exact (from f32).
+    """
+    xf = x.astype(jnp.float32)
+    if metric == "cosine":
+        xf = normalize(xf)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127).astype(jnp.int8)
+    norms = sq_norms(xf) if metric == "l2" else jnp.zeros(xf.shape[:-1], jnp.float32)
+    return codes, scales, norms
+
+
 def preprocess_queries(q: jax.Array, metric: str, compute_dtype=jnp.float32) -> jax.Array:
     if metric == "cosine":
         q = normalize(q)
@@ -59,7 +77,8 @@ def preprocess_queries(q: jax.Array, metric: str, compute_dtype=jnp.float32) -> 
 
 
 def pairwise_scores(
-    q: jax.Array, x: jax.Array, x_norms: jax.Array, metric: str, precision=None
+    q: jax.Array, x: jax.Array, x_norms: jax.Array, metric: str, precision=None,
+    x_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Surrogate scores between query batch [B, D] and corpus [N, D] -> [B, N].
 
@@ -74,6 +93,8 @@ def pairwise_scores(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    if x_scales is not None:  # int8 codes: dequantize the dot product
+        dots = dots * x_scales[None, :]
     if metric == "l2":
         return x_norms[None, :] - 2.0 * dots
     return -dots  # dot and cosine (cosine vectors pre-normalized)

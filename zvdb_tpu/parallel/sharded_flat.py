@@ -1,0 +1,124 @@
+"""Mesh-sharded brute-force search (TPU-KNN scaled out over ICI).
+
+The 100M-vector configuration (BASELINE.json config 5) in its simplest, fastest
+form: vectors sharded over the mesh `shard` axis, every device scores its slice
+with dense MXU matmuls + hardware approx top-k, and the per-shard top-k merge
+rides an all-gather that XLA inserts from the sharding annotations. With
+bfloat16 storage a v5e-16 mesh holds ~2.5B 96-d vectors; per-chip QPS matches
+the single-chip flat engine because there is zero cross-shard traffic until the
+final [B, S*k] merge.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.flat import FlatState
+from ..ops import distance as D
+from ..ops import topk as T
+from ..utils.config import FlatConfig
+from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+from .sharded import shard_map
+
+
+class ShardedFlat:
+    """Brute-force index sharded over a device mesh."""
+
+    def __init__(self, cfg: FlatConfig, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.shape[SHARD_AXIS]
+        self.state = None      # stacked FlatState: leading shard axis
+        self._n = 0
+        self._fns = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def build(self, x) -> None:
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        s = self.n_shards
+        per = -(-max(n, 1) // s)
+        self._n = n
+        xs = np.zeros((s, per, self.cfg.dim), np.float32)
+        ids = np.full((s, per), -1, np.int32)
+        for si in range(s):
+            lo, hi = si * per, min((si + 1) * per, n)
+            if hi > lo:
+                xs[si, : hi - lo] = x[lo:hi]
+                ids[si, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
+        stored, norms = D.preprocess_corpus(
+            jnp.asarray(xs), self.cfg.metric, self.cfg.storage_dtype
+        )
+        norms = jnp.where(ids >= 0, norms, jnp.inf)
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self.state = dict(
+            vectors=jax.device_put(stored, sh),
+            norms=jax.device_put(norms, sh),
+            ids=jax.device_put(jnp.asarray(ids), sh),
+        )
+        self._fns = {}
+
+    def _make(self, k: int, approx: bool):
+        cfg = self.cfg
+        mesh = self.mesh
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[cfg.precision]
+
+        @jax.jit
+        def run(vectors, norms, ids, q):
+            def local(v, nn, ii, q):
+                v, nn, ii = v[0], nn[0], ii[0]
+                qp = D.preprocess_queries(q, cfg.metric)
+                s = D.pairwise_scores(qp, v, nn, cfg.metric, precision=prec)
+                s = jnp.where(ii[None, :] >= 0, s, jnp.inf)
+                kk = min(k, s.shape[-1])
+                if approx:
+                    tv, tp = jax.lax.approx_min_k(
+                        s, kk, recall_target=cfg.recall_target
+                    )
+                    ti = jnp.take_along_axis(
+                        jnp.broadcast_to(ii[None, :], s.shape), tp, axis=-1
+                    )
+                    ts = jnp.where(ti >= 0, tv, jnp.inf)
+                else:
+                    ts, ti = T.smallest_k(s, jnp.broadcast_to(ii[None, :], s.shape), kk)
+                return ts[:, None, :], ti[:, None, :]
+
+            ts, ti = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+                out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
+            )(vectors, norms, ids, q)
+            b = ts.shape[0]
+            ts = ts.reshape(b, -1)
+            ti = ti.reshape(b, -1)
+            ms, mi = T.smallest_k(ts, ti, k)
+            user = D.finalize_scores(ms, D.preprocess_queries(q, cfg.metric), cfg.metric)
+            user = jnp.where(mi >= 0, user, jnp.inf if cfg.metric == "l2" else -jnp.inf)
+            return user, mi
+
+        return run
+
+    def search(self, q, k: int, approx: bool = True):
+        if self.state is None or self._n == 0:
+            q = np.atleast_2d(np.asarray(q, np.float32))
+            return (
+                jnp.full((q.shape[0], k), jnp.inf if self.cfg.metric == "l2" else -jnp.inf),
+                jnp.full((q.shape[0], k), -1, jnp.int32),
+            )
+        key = (k, approx)
+        if key not in self._fns:
+            self._fns[key] = self._make(k, approx)
+        q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
+        st = self.state
+        return self._fns[key](st["vectors"], st["norms"], st["ids"], q)

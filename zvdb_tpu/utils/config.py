@@ -116,4 +116,7 @@ class FlatConfig:
 
     @property
     def storage_dtype(self):
-        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+        # int8: symmetric per-vector quantized codes + f32 scales (state.scales)
+        return {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[self.dtype]
