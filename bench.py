@@ -67,6 +67,12 @@ def main():
          + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    # absorb the per-process device-init cost (~100-150s through the axon
+    # relay) before anything is timed
+    import jax.numpy as jnp
+    t0 = time.time()
+    _ = float((jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum())
+    log(f"device init {time.time()-t0:.1f}s")
     gt_cache = f"/tmp/zvdb_gt_clustered_{n}_{d}_{nq}_{k}.npz"
     t0 = time.time()
     if os.path.exists(gt_cache):
@@ -78,9 +84,11 @@ def main():
 
     results = {}
 
-    # ---- flat (headline): exact MXU scoring + approx top-k ----------------
+    # ---- flat: exact MXU scoring + approx top-k ---------------------------
+    # full-precision scoring: bf16 matmul error craters recall on clustered
+    # data, and the MXU has f32 headroom to spare at this scale
     flat = FlatIndex(
-        FlatConfig(dim=d, metric=metric, precision="default",
+        FlatConfig(dim=d, metric=metric, precision="highest",
                    recall_target=0.97, tile_n=131072),
         capacity=n,
     )
@@ -105,14 +113,23 @@ def main():
         ivf.build(x)
         jax.block_until_ready(ivf.state)
         ivf_build_s = time.perf_counter() - t0
-        ids = []
-        for lo in range(0, nq, batch):
-            ids.append(np.asarray(ivf.search(q[lo:lo + batch], k)[1]))
-        ivf_recall = recall_at_k(np.concatenate(ids), gt, k)
-        ivf_qps = timed_qps(lambda qq: ivf.search(qq, k), q, batch)
-        log(f"ivf: recall={ivf_recall:.4f} qps={ivf_qps:,.0f} build={n/ivf_build_s:,.0f} pts/s")
+        best_ivf = None
+        for npb in (2, 4, 8):
+            ids = []
+            for lo in range(0, nq, batch):
+                ids.append(np.asarray(ivf.search(q[lo:lo + batch], k, nprobe=npb)[1]))
+            r = recall_at_k(np.concatenate(ids), gt, k)
+            log(f"ivf nprobe={npb} recall={r:.4f}")
+            if r >= TARGET_RECALL:
+                best_ivf = (npb, r)
+                break
+        if best_ivf is None:
+            best_ivf = (8, r)
+        npb, ivf_recall = best_ivf
+        ivf_qps = timed_qps(lambda qq: ivf.search(qq, k, nprobe=npb), q, batch)
+        log(f"ivf: recall={ivf_recall:.4f} qps={ivf_qps:,.0f} build={n/ivf_build_s:,.0f} pts/s (nprobe={npb})")
         results["ivf"] = dict(recall=ivf_recall, qps=ivf_qps,
-                              build_pps=n / ivf_build_s)
+                              build_pps=n / ivf_build_s, nprobe=npb)
     except Exception as e:  # keep headline alive if a secondary engine breaks
         log(f"ivf failed: {e!r}")
 
