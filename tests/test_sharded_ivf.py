@@ -1,0 +1,56 @@
+"""Cluster-sharded IVF on the virtual 8-device mesh."""
+import numpy as np
+import pytest
+
+import jax
+
+from zvdb_tpu import IVFConfig, exact_ground_truth
+from zvdb_tpu.parallel.mesh import make_mesh
+from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
+
+
+def recall_at_k(ids, gt, k):
+    return np.mean(
+        [len(set(ids[r, :k]) & set(gt[r, :k])) / k for r in range(ids.shape[0])]
+    )
+
+
+def clustered(n, d, seed, nc=50):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    a = rng.integers(0, nc, n)
+    return (centers[a] + 0.15 * rng.standard_normal((n, d))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(n_shards=8)
+
+
+def test_sharded_ivf_recall(rng, mesh8):
+    n, d, k = 16000, 32, 10
+    x = clustered(n, d, seed=1)
+    q = (x[rng.integers(0, n, 128)]
+         + 0.05 * rng.standard_normal((128, d))).astype(np.float32)
+    _, gt = exact_ground_truth(x, q, k)
+    idx = ShardedIVF(IVFConfig(dim=d, n_clusters=64, nprobe=16), mesh=mesh8)
+    idx.build(x)
+    assert len(idx) == n
+    s, ids = idx.search(q, k)
+    ids = np.asarray(ids)
+    r = recall_at_k(ids, gt, k)
+    assert r >= 0.92, f"sharded ivf recall {r:.3f}"
+    # global external ids, no duplicates
+    assert (ids >= 0).all() and (ids < n).all()
+    for row in ids:
+        assert len(set(row.tolist())) == k
+    # merged scores sorted ascending (l2)
+    s = np.asarray(s)
+    assert (np.diff(s, axis=1) >= -1e-5).all()
+
+
+def test_sharded_ivf_empty(mesh8):
+    idx = ShardedIVF(IVFConfig(dim=8, n_clusters=8), mesh=mesh8)
+    s, ids = idx.search(np.zeros((2, 8), np.float32), 3)
+    assert (np.asarray(ids) == -1).all()

@@ -185,7 +185,8 @@ def split_oversized(x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
 
 def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
                     metric: str, precision: str = "float32",
-                    group_slack: float = 4.0):
+                    group_slack: float = 4.0,
+                    c_mask: Optional[jax.Array] = None):
     """Batched IVF search, query-grouped. Returns (user_scores [B,k], ext_ids [B,k]).
 
     TPU rationale: gathering each query's probed blocks costs ~7ns per 512B
@@ -203,6 +204,8 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         c, bcap, d = state.blocks.shape
         p = nprobe
         cs = D.pairwise_scores(qp, state.centroids, state.c_norms, metric)  # [B, C]
+        if c_mask is not None:  # sharded: padded cluster slots never probed
+            cs = jnp.where(c_mask[None, :], cs, INF)
         _, probes = jax.lax.top_k(-cs, p)                                   # [B, P]
 
         # ---- group probe pairs by cluster --------------------------------
