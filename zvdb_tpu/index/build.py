@@ -394,11 +394,12 @@ build_batch_step = functools.partial(
 # orchestration
 
 
-def _run_batches(state, x, levels, ext, cfg, levels_cap):
+def _run_batches(state, x, levels, ext, cfg, levels_cap,
+                 start_batch: int = 0, on_batch=None):
     n = x.shape[0]
     bsz = min(cfg.build_batch, max(n, 1))
     nb = -(-n // bsz)
-    for t in range(nb):
+    for t in range(start_batch, nb):
         lo, hi = t * bsz, min((t + 1) * bsz, n)
         xb = np.zeros((bsz, cfg.dim), np.float32)
         xb[: hi - lo] = x[lo:hi]
@@ -412,7 +413,43 @@ def _run_batches(state, x, levels, ext, cfg, levels_cap):
             state, jnp.asarray(xb), jnp.asarray(lb), jnp.asarray(eb),
             jnp.asarray(vb), cfg, levels_cap,
         )
+        if on_batch is not None:
+            state = on_batch(state, t, nb) or state
     return state
+
+
+def save_build_checkpoint(path: str, state: HNSWState, x, levels, ext,
+                          cfg: HNSWConfig, levels_cap: int, next_batch: int,
+                          capacity: int) -> None:
+    """Snapshot a partially-built graph + remaining work for crash recovery
+    (SURVEY.md §5: the reference has no checkpoint/resume at all; expensive
+    bulk builds at DEEP-10M scale need it)."""
+    import dataclasses
+    import json
+
+    arrays = {f: np.asarray(getattr(state, f)) for f in HNSWState._fields}
+    meta = dict(cfg=dataclasses.asdict(cfg), levels_cap=levels_cap,
+                next_batch=next_batch, capacity=capacity)
+    np.savez_compressed(path, meta=json.dumps(meta), corpus=x, lv=levels,
+                        ext=ext, **arrays)
+
+
+def resume_build(path: str):
+    """Continue a checkpointed bulk build. Returns (state, capacity, levels_cap)."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        cfg = HNSWConfig(**meta["cfg"])
+        state = HNSWState(**{
+            f: jnp.asarray(z[f]) for f in HNSWState._fields
+        })
+        x = z["corpus"]
+        levels = z["lv"]
+        ext = z["ext"]
+    state = _run_batches(state, x, levels, ext, cfg, meta["levels_cap"],
+                         start_batch=meta["next_batch"])
+    return state, meta["capacity"], meta["levels_cap"], cfg
 
 
 def bulk_build(
@@ -421,6 +458,8 @@ def bulk_build(
     key: jax.Array,
     sort_by_level: bool = True,
     capacity: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> Tuple[HNSWState, int, int]:
     """Build a fresh index over corpus x [N, D]. Returns (state, capacity, levels_cap).
 
@@ -445,7 +484,14 @@ def bulk_build(
     xs = np.asarray(x, np.float32)[order]
     ls = levels[order]
     ext = order.astype(np.int32)
-    state = _run_batches(state, xs, ls, ext, cfg, levels_cap)
+    on_batch = None
+    if checkpoint_path and checkpoint_every > 0:
+        def on_batch(st, t, nb):
+            if (t + 1) % checkpoint_every == 0 and t + 1 < nb:
+                save_build_checkpoint(checkpoint_path, st, xs, ls, ext, cfg,
+                                      levels_cap, t + 1, cap)
+            return st
+    state = _run_batches(state, xs, ls, ext, cfg, levels_cap, on_batch=on_batch)
     return state, cap, levels_cap
 
 
