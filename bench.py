@@ -85,10 +85,11 @@ def main():
     results = {}
 
     # ---- flat: exact MXU scoring + approx top-k ---------------------------
-    # full-precision scoring: bf16 matmul error craters recall on clustered
-    # data, and the MXU has f32 headroom to spare at this scale
+    # precision "high" = 3-pass bf16 matmul: near-f32 accuracy (recall matches
+    # "highest" to 3 decimals on this workload) at ~3x MXU rate. Plain bf16
+    # ("default") craters recall on clustered data — do not use it for scoring.
     flat = FlatIndex(
-        FlatConfig(dim=d, metric=metric, precision="highest",
+        FlatConfig(dim=d, metric=metric, precision="high",
                    recall_target=0.97, tile_n=131072),
         capacity=n,
     )
@@ -96,7 +97,9 @@ def main():
     flat.add(x)
     jax.block_until_ready(flat.state)
     flat_build_s = time.perf_counter() - t0
-    batch = 8192
+    # one batch = one dispatch per pass: a 10k+1808-style remainder batch costs
+    # an extra compile AND worse device utilization
+    batch = nq
     ids = []
     for lo in range(0, nq, batch):
         ids.append(np.asarray(flat.search(q[lo:lo + batch], k, approx=True)[1]))
@@ -154,7 +157,7 @@ def main():
             hnsw_ef = 128
             hnsw_recall = r
         hnsw_qps = timed_qps(
-            lambda qq: hnsw.search(qq, k, ef_search=hnsw_ef), q, 4096, reps=2
+            lambda qq: hnsw.search(qq, k, ef_search=hnsw_ef), q, 5000, reps=2
         )
         log(f"hnsw: recall={hnsw_recall:.4f} qps={hnsw_qps:,.0f} "
             f"build={n/hnsw_build_s:,.0f} pts/s (ef={hnsw_ef})")
