@@ -31,18 +31,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_qps(search_fn, q, batch, reps=3):
-    """Median wall-clock QPS over reps full passes (each pass = all queries)."""
-    times = []
+def timed_qps(search_fn, q, batch, reps=6):
+    """Amortized wall-clock QPS: dispatch `reps` full passes asynchronously,
+    sync once. The host<->device sync round-trip costs ~28 ms on this relay
+    (measured), so per-rep syncs would understate large-batch throughput."""
+    import jax
+
+    outs = []
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = []
         for lo in range(0, q.shape[0], batch):
             outs.append(search_fn(q[lo:lo + batch]))
-        # force full completion: pull one scalar from the last result
-        _ = float(np.asarray(outs[-1][0])[0, 0])
-        times.append(time.perf_counter() - t0)
-    return q.shape[0] / min(times)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return reps * q.shape[0] / dt
 
 
 def main():

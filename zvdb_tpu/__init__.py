@@ -18,6 +18,7 @@ from .utils.config import FlatConfig, HNSWConfig, SearchConfig
 from .index.flat import FlatIndex, exact_ground_truth
 from .index.hnsw import HNSW, HNSWState
 from .index.ivf import IVFConfig, IVFIndex
+from .serve import SearchServer
 
 __all__ = [
     "HNSW",
@@ -29,6 +30,24 @@ __all__ = [
     "HNSWConfig",
     "SearchConfig",
     "FlatConfig",
+    "SearchServer",
 ]
+
+
+def __getattr__(name):
+    # sharded engines import lazily (they touch jax.sharding / mesh state)
+    if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "make_mesh"):
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded import ShardedHNSW
+        from .parallel.sharded_flat import ShardedFlat
+        from .parallel.sharded_ivf import ShardedIVF
+
+        return {
+            "ShardedHNSW": ShardedHNSW,
+            "ShardedFlat": ShardedFlat,
+            "ShardedIVF": ShardedIVF,
+            "make_mesh": make_mesh,
+        }[name]
+    raise AttributeError(name)
 
 __version__ = "0.1.0"
