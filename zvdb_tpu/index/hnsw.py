@@ -157,6 +157,7 @@ def beam_layer(
     expand: int = 1,
     max_iters: Optional[int] = None,
     limit_n: Optional[jax.Array] = None,
+    use_degree: Optional[int] = None,
 ):
     """Batched best-first beam search on one layer's graph.
 
@@ -220,8 +221,13 @@ def beam_layer(
 
         # expand: gather neighbor lists of the selected rows
         cand = jnp.take(nbrs, jnp.maximum(sel_r, 0), axis=0)      # [B, E, deg]
+        if use_degree is not None and use_degree < deg:
+            # rows are distance/priority-sorted at build time; truncating the
+            # tail halves the vector-gather row count (the hop's dominant
+            # cost — gathers are row-count-bound on TPU) for a small recall hit
+            cand = cand[:, :, :use_degree]
         cand = jnp.where((sel_r >= 0)[:, :, None], cand, -1)
-        cand = cand.reshape(b, e * deg)
+        cand = cand.reshape(b, -1)
         if limit_n is not None:
             cand = jnp.where(cand < limit_n, cand, -1)
         c_s = _scores_to(state, q, cand, metric)
@@ -289,6 +295,7 @@ def search_state_impl(
     max_upper_iters: int = 32,
     levels_cap: int = 1,
     precision: str = "float32",
+    search_degree: Optional[int] = None,
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
@@ -299,15 +306,17 @@ def search_state_impl(
         with jax.default_matmul_precision(precision):
             return _search_state_body(
                 state, q, k, metric, ef, expand, max_iters, max_upper_iters,
-                levels_cap,
+                levels_cap, search_degree,
             )
     return _search_state_body(
-        state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap
+        state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
+        search_degree,
     )
 
 
 def _search_state_body(
-    state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap
+    state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
+    search_degree=None,
 ):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
@@ -317,7 +326,7 @@ def _search_state_body(
     )
     beam_s, beam_r = beam_layer(
         state, qp, ep[:, None], ep_score[:, None], state.nbr0, ef, metric,
-        expand=expand, max_iters=max_iters,
+        expand=expand, max_iters=max_iters, use_degree=search_degree,
     )
     top_s, top_r = T.smallest_k(beam_s, beam_r, k)
     valid = top_r >= 0
@@ -335,7 +344,7 @@ search_state = jax.jit(
     search_state_impl,
     static_argnames=(
         "k", "metric", "ef", "expand", "max_iters", "max_upper_iters",
-        "levels_cap", "precision",
+        "levels_cap", "precision", "search_degree",
     ),
 )
 
@@ -486,6 +495,7 @@ class HNSW:
                     expand=sc.expand, max_iters=sc.max_iters,
                     max_upper_iters=sc.max_upper_iters, levels_cap=self.levels_cap,
                     precision=self.cfg.precision,
+                    search_degree=sc.search_degree,
                 )
             if squeeze:
                 return s[0], i[0]

@@ -93,6 +93,10 @@ class SearchConfig:
     max_iters: Optional[int] = None
     # Max greedy hops per upper layer.
     max_upper_iters: int = 32
+    # Use only the first `search_degree` (distance-sorted) neighbors of each
+    # expanded node; None = full row. Halving the degree ~halves the per-hop
+    # vector-gather rows (the dominant cost) for a small recall hit.
+    search_degree: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
