@@ -33,10 +33,11 @@ class FlatState(NamedTuple):
 
 
 def init_state(capacity: int, cfg: FlatConfig) -> FlatState:
+    # norms double as the validity bias: +inf until a row is ingested (all
+    # metrics), so search never materializes a [B, N] mask
     return FlatState(
         vectors=jnp.zeros((capacity, cfg.dim), cfg.storage_dtype),
-        norms=jnp.full((capacity,), jnp.inf, jnp.float32) if cfg.metric == "l2"
-        else jnp.zeros((capacity,), jnp.float32),
+        norms=jnp.full((capacity,), jnp.inf, jnp.float32),
         scales=jnp.ones((capacity,), jnp.float32),
         n=jnp.zeros((), jnp.int32),
     )
@@ -106,21 +107,20 @@ def _search(
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
+        # un-ingested/padding rows carry norms=+inf, so scores are +inf there —
+        # no [B, tile] id/mask arrays are ever materialized (at 1M x 10k they
+        # would be tens of GB and dominate the scan's runtime)
         s = D.pairwise_scores(qs, vecs, norms, metric, precision=prec,
                               x_scales=scales)  # [B, tile]
-        base = t_idx * tile
-        local_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-        valid = (local_ids < state.n) & (local_ids < cap)
-        s = jnp.where(valid, s, jnp.inf)
-        local_ids = jnp.where(valid, local_ids, -1)
         kk = min(k, tile)
         if approx:
-            tv, tp = jax.lax.approx_min_k(s, kk, recall_target=recall_target)
-            ti = jnp.take_along_axis(local_ids, tp, axis=-1)
-            ts = jnp.where(ti >= 0, tv, jnp.inf)
-            ti = jnp.where(jnp.isfinite(ts), ti, -1)
+            ts, tp = jax.lax.approx_min_k(s, kk, recall_target=recall_target)
         else:
-            ts, ti = T.smallest_k(s, local_ids, kk)
+            neg, tp = jax.lax.top_k(-s, kk)
+            ts = -neg
+        ti = t_idx * tile + tp.astype(jnp.int32)
+        ti = jnp.where(jnp.isfinite(ts), ti, -1)
+        ts = jnp.where(ti >= 0, ts, jnp.inf)
         if kk < k:
             ts = jnp.pad(ts, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
             ti = jnp.pad(ti, ((0, 0), (0, k - kk)), constant_values=-1)

@@ -97,7 +97,10 @@ def pairwise_scores(
         dots = dots * x_scales[None, :]
     if metric == "l2":
         return x_norms[None, :] - 2.0 * dots
-    return -dots  # dot and cosine (cosine vectors pre-normalized)
+    # dot and cosine (cosine vectors pre-normalized): x_norms acts as an
+    # additive validity bias (0 for live rows, +inf for padding) so callers
+    # never need a separate [B, N] mask
+    return x_norms[None, :] - dots
 
 
 def gathered_scores(
