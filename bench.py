@@ -168,14 +168,61 @@ def main():
     except Exception as e:
         log(f"hnsw failed: {e!r}")
 
-    # headline = best engine clearing the recall target
+    # ---- SIFT1M-scale config (BASELINE.json headline: >=0.95 recall @
+    # >=100k QPS/chip at 1M vectors) -----------------------------------------
+    try:
+        from zvdb_tpu.io.datasets import synthetic_clustered
+
+        n1 = 1_000_000
+        x1 = synthetic_clustered(n1, d, n_clusters=10_000, seed=0)
+        q1 = (x1[rng.integers(0, n1, nq)]
+              + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
+        gt1_cache = f"/tmp/zvdb_gt1m_{d}_{nq}_{k}.npz"
+        if os.path.exists(gt1_cache):
+            gt1 = np.load(gt1_cache)["gt"]
+        else:
+            oracle = FlatIndex(
+                FlatConfig(dim=d, precision="highest", tile_n=262144), capacity=n1
+            )
+            oracle.add(x1)
+            gt1 = np.concatenate([
+                np.asarray(oracle.search(q1[lo:lo + 2048], k)[1])
+                for lo in range(0, nq, 2048)
+            ])
+            np.savez(gt1_cache, gt=gt1)
+            del oracle
+        fl1 = FlatIndex(
+            FlatConfig(dim=d, metric=metric, precision="high",
+                       recall_target=0.97, tile_n=500_000),
+            capacity=n1,
+        )
+        t0 = time.perf_counter()
+        fl1.add(x1)
+        jax.block_until_ready(fl1.state)
+        b1 = time.perf_counter() - t0
+        ids1 = np.concatenate([
+            np.asarray(fl1.search(q1[lo:lo + 2048], k, approx=True)[1])
+            for lo in range(0, nq, 2048)
+        ])
+        r1 = recall_at_k(ids1, gt1, k)
+        qps1 = timed_qps(lambda qq: fl1.search(qq, k, approx=True), q1, 2048)
+        log(f"flat 1M: recall={r1:.4f} qps={qps1:,.0f} build={n1/b1:,.0f} pts/s")
+        results["flat_1m"] = dict(recall=r1, qps=qps1, build_pps=n1 / b1)
+        del fl1, x1
+    except Exception as e:
+        log(f"1M config failed: {e!r}")
+
+    # headline = best engine clearing the recall target (100k-point protocol
+    # engines only; the 1M result is reported alongside)
+    results_100k = {k2: v2 for k2, v2 in results.items() if k2 != "flat_1m"}
     best_name, best = max(
-        ((name, r) for name, r in results.items() if r["recall"] >= TARGET_RECALL),
+        ((name, r) for name, r in results_100k.items()
+         if r["recall"] >= TARGET_RECALL),
         key=lambda kv: kv[1]["qps"],
         default=(None, None),
     )
     if best is None:
-        best_name, best = max(results.items(), key=lambda kv: kv[1]["recall"])
+        best_name, best = max(results_100k.items(), key=lambda kv: kv[1]["recall"])
 
     out = {
         "metric": "qps_at_recall0.95@10_100k_128d_sift_like",
