@@ -11,6 +11,15 @@ On the last chunk the scratch is flushed to the output block.
 
 This is the TPU-KNN design (PAPERS.md: "K Nearest Neighbor Search at Peak
 FLOP/s") expressed in Pallas. Exact: full scan, exact selection.
+
+STATUS: correct under the Pallas interpreter (tests/test_pallas_scan.py); the
+compiled path is blocked on this platform's Mosaic version — lax.top_k has no
+TPU lowering and the iterative min-extraction loop trips a register-allocator
+spill (~257MB of spill slots at any tile size). The XLA flat path
+(index/flat.py: matmul + lax.approx_min_k) already runs at ~1M QPS equivalent
+on 100k x 128d, so this kernel is an optimization experiment, not a
+dependency. Revisit with a compare-exchange sorting network (k x
+compare/select column ops, no argmin) in a later round.
 """
 from __future__ import annotations
 
