@@ -63,6 +63,7 @@ def select_neighbors(
     m_out: int,
     alpha: float,
     metric: str,
+    max_candidates: int = 0,
 ) -> jax.Array:
     """Pick up to m_out diverse neighbors per row.
 
@@ -73,7 +74,14 @@ def select_neighbors(
     Pruned candidates backfill remaining slots in distance order (the
     keepPrunedConnections behavior of canonical HNSW). Fully vectorized: the
     pairwise candidate distances are one batched matmul on the MXU.
+
+    max_candidates > 0 first narrows the pool to the nearest C' candidates —
+    the O(C^2 D) pairwise matmul dominates build time, and candidates far down
+    the distance order are effectively never selected (they survive the RNG
+    rule only to lose the priority sort, and backfill also prefers nearest).
     """
+    if max_candidates and max_candidates < cand.shape[-1]:
+        cand_scores, cand = T.smallest_k(cand_scores, cand, max_candidates)
     safe = jnp.maximum(cand, 0)
     c_vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)  # [R, C, D]
     c_norms = jnp.take(state.norms, safe, axis=0)                        # [R, C]
@@ -328,7 +336,10 @@ def _build_batch_body(
         c_r = jnp.concatenate([g_r, i_rows], axis=-1)
         c_s, c_r = T.mask_duplicate_ids(c_s, c_r)
 
-        fwd, fwd_d = select_neighbors(state, q, qn, c_r, c_s, m, cfg.alpha, metric)
+        fwd, fwd_d = select_neighbors(
+            state, q, qn, c_r, c_s, m, cfg.alpha, metric,
+            max_candidates=max(4 * m, 48),
+        )
         fwd = jnp.where(active[:, None], fwd, -1)
         fwd_d = jnp.where(fwd >= 0, fwd_d, INF)
         fwd_by_layer[ell] = (fwd, fwd_d)
