@@ -132,18 +132,24 @@ def run_insertion_benchmark(index_factory, points: np.ndarray, num_devices=1):
 def run_search_benchmark(
     idx, queries: np.ndarray, k: int, ef: int, gt: Optional[np.ndarray] = None,
     num_devices=1, warmup: int = 1, batch: Optional[int] = None,
+    search_fn=None,
 ):
     """Timed batched search (reference runSearchBenchmark,
-    shared_benchmarks.zig:90-113; build excluded from timing)."""
+    shared_benchmarks.zig:90-113; build excluded from timing).
+
+    search_fn(queries, k) overrides the default engine call (used for engines
+    whose beam knob isn't called ef_search, e.g. flat approx / ivf nprobe)."""
+    if search_fn is None:
+        search_fn = lambda qq, kk: idx.search(qq, kk, ef_search=ef)
     nq = queries.shape[0]
     bs = batch or nq
     # warmup triggers compilation
     for _ in range(warmup):
-        jax.block_until_ready(idx.search(queries[:bs], k, ef_search=ef))
+        jax.block_until_ready(search_fn(queries[:bs], k))
     ids_all = []
     t0 = time.perf_counter_ns()
     for lo in range(0, nq, bs):
-        s, i = idx.search(queries[lo:lo + bs], k, ef_search=ef)
+        s, i = search_fn(queries[lo:lo + bs], k)
         ids_all.append(i)
     jax.block_until_ready(ids_all)
     ns = time.perf_counter_ns() - t0

@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--metric", type=str, default="l2")
     ap.add_argument("--recall", action="store_true", help="also measure recall")
+    ap.add_argument("--engine", type=str, default="hnsw",
+                    choices=["hnsw", "flat", "ivf"])
+    ap.add_argument("--dataset", type=str, default=None,
+                    help="sift1m | glove | deep10m | synthetic-uniform | "
+                         "synthetic-clustered (overrides --dims; real files "
+                         "used when present under $ZVDB_DATA)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -42,11 +48,14 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
 
-    from zvdb_tpu import HNSW, HNSWConfig
+    from zvdb_tpu import (
+        FlatConfig, FlatIndex, HNSW, HNSWConfig, IVFConfig, IVFIndex,
+    )
     from zvdb_tpu.bench.harness import (
         ground_truth_host, random_points, run_insertion_benchmark,
         run_search_benchmark,
     )
+    from zvdb_tpu.io.datasets import load_dataset
     from zvdb_tpu.parallel.mesh import make_mesh
     from zvdb_tpu.parallel.sharded import ShardedHNSW
 
@@ -56,22 +65,40 @@ def main(argv=None):
     sink = open(args.out, "a") if args.out else None
     results = []
 
-    for d in dims:
-        x = random_points(rng, args.points, d)
-        q = random_points(rng, args.queries, d)
-        gt = ground_truth_host(x, q, max(ks), args.metric)[1] if args.recall else None
+    datasets = []
+    if args.dataset:
+        x, q, _, metric = load_dataset(args.dataset, max_rows=args.points)
+        datasets.append((x, q[: args.queries], metric))
+    else:
+        for d in dims:
+            datasets.append((
+                random_points(rng, args.points, d),
+                random_points(rng, args.queries, d),
+                args.metric,
+            ))
 
-        if args.devices > 1:
+    for x, q, metric in datasets:
+        d = x.shape[1]
+        gt = ground_truth_host(x, q, max(ks), metric)[1] if args.recall else None
+
+        if args.engine == "flat":
+            factory = lambda: FlatIndex(
+                FlatConfig(dim=d, metric=metric, precision="high"),
+                capacity=x.shape[0],
+            )
+        elif args.engine == "ivf":
+            factory = lambda: IVFIndex(IVFConfig(dim=d, metric=metric))
+        elif args.devices > 1:
             mesh = make_mesh(n_shards=args.devices)
             factory = lambda: ShardedHNSW(
                 HNSWConfig(dim=d, m=args.m, ef_construction=args.efc,
-                           metric=args.metric, build_batch=args.build_batch),
+                           metric=metric, build_batch=args.build_batch),
                 mesh=mesh,
             )
         else:
             factory = lambda: HNSW(
                 HNSWConfig(dim=d, m=args.m, ef_construction=args.efc,
-                           metric=args.metric, build_batch=args.build_batch)
+                           metric=metric, build_batch=args.build_batch)
             )
 
         idx, ins = run_insertion_benchmark(factory, x, num_devices=args.devices)
@@ -80,9 +107,17 @@ def main(argv=None):
         if sink:
             sink.write(ins.to_json() + "\n")
 
+        if args.engine == "flat":
+            search_fn = lambda qq, kk: idx.search(qq, kk, approx=True)
+        elif args.engine == "ivf":
+            search_fn = lambda qq, kk: idx.search(qq, kk)
+        else:
+            search_fn = None
+
         for k in ks:
             _, sr = run_search_benchmark(
-                idx, q, k, args.ef, gt=gt, num_devices=args.devices, warmup=1
+                idx, q, k, args.ef, gt=gt, num_devices=args.devices, warmup=1,
+                search_fn=search_fn,
             )
             print(sr, file=sys.stderr, flush=True)
             results.append(sr)

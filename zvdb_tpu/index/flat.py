@@ -183,6 +183,12 @@ class FlatIndex:
 
     insert = add  # reference-parity alias (src/hnsw.zig:73)
 
+    def build(self, x) -> None:
+        """Replace contents with corpus x (engine-uniform bulk-build API)."""
+        self.state = None
+        self.capacity = 0
+        self.add(x)
+
     def search(self, q, k: int, approx: bool = False):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
 
