@@ -338,7 +338,7 @@ def _build_batch_body(
 
         fwd, fwd_d = select_neighbors(
             state, q, qn, c_r, c_s, m, cfg.alpha, metric,
-            max_candidates=max(4 * m, 48),
+            max_candidates=cfg.select_cap,
         )
         fwd = jnp.where(active[:, None], fwd, -1)
         fwd_d = jnp.where(fwd >= 0, fwd_d, INF)

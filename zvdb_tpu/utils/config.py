@@ -55,6 +55,12 @@ class HNSWConfig:
     precision: str = "high"
     # Build-time beam batched-expansion width (candidates expanded per hop).
     build_expand: int = 4
+    # Cap on the candidate pool entering diversity pruning (the O(C^2 D)
+    # pairwise matmul dominates build time). 0 = no cap. Measured: capping to
+    # 64 costs ~6 points of recall@10 — the RNG rule genuinely selects distant
+    # candidates for direction diversity — so the cap is off by default; use it
+    # only when build time matters more than graph quality.
+    select_cap: int = 0
     # Run a full beam search at every upper layer during build (canonical but
     # slow: one while_loop per layer per batch). Off = greedy descent only;
     # upper-layer edges come from level-filtered base candidates + intra-batch.
