@@ -158,6 +158,7 @@ def beam_layer(
     max_iters: Optional[int] = None,
     limit_n: Optional[jax.Array] = None,
     use_degree: Optional[int] = None,
+    dedupe_candidates: bool = True,
 ):
     """Batched best-first beam search on one layer's graph.
 
@@ -231,7 +232,11 @@ def beam_layer(
         if limit_n is not None:
             cand = jnp.where(cand < limit_n, cand, -1)
         c_s = _scores_to(state, q, cand, metric)
-        c_s, cand = T.mask_duplicate_ids(c_s, cand)
+        if dedupe_candidates:
+            # exact in-hop dedupe: O(C^2) bool matrix — at large B this
+            # materializes GBs per hop; disable to trade a little beam
+            # capacity (duplicate slots) for much cheaper hops
+            c_s, cand = T.mask_duplicate_ids(c_s, cand)
         c_s, cand = T.mask_ids_in(c_s, cand, beam_r)
 
         # merge into beam, carrying expanded flags (new entries unexpanded)
@@ -296,6 +301,7 @@ def search_state_impl(
     levels_cap: int = 1,
     precision: str = "float32",
     search_degree: Optional[int] = None,
+    dedupe_candidates: bool = True,
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
@@ -306,17 +312,17 @@ def search_state_impl(
         with jax.default_matmul_precision(precision):
             return _search_state_body(
                 state, q, k, metric, ef, expand, max_iters, max_upper_iters,
-                levels_cap, search_degree,
+                levels_cap, search_degree, dedupe_candidates,
             )
     return _search_state_body(
         state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-        search_degree,
+        search_degree, dedupe_candidates,
     )
 
 
 def _search_state_body(
     state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-    search_degree=None,
+    search_degree=None, dedupe_candidates=True,
 ):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
@@ -327,7 +333,11 @@ def _search_state_body(
     beam_s, beam_r = beam_layer(
         state, qp, ep[:, None], ep_score[:, None], state.nbr0, ef, metric,
         expand=expand, max_iters=max_iters, use_degree=search_degree,
+        dedupe_candidates=dedupe_candidates,
     )
+    # final dedupe on the (small) beam: results must be unique ids even when
+    # in-hop dedupe is disabled for speed
+    beam_s, beam_r = T.mask_duplicate_ids(beam_s, beam_r)
     top_s, top_r = T.smallest_k(beam_s, beam_r, k)
     valid = top_r >= 0
     ext = jnp.where(valid, jnp.take(state.ext_ids, jnp.maximum(top_r, 0)), -1)
@@ -344,7 +354,7 @@ search_state = jax.jit(
     search_state_impl,
     static_argnames=(
         "k", "metric", "ef", "expand", "max_iters", "max_upper_iters",
-        "levels_cap", "precision", "search_degree",
+        "levels_cap", "precision", "search_degree", "dedupe_candidates",
     ),
 )
 
@@ -496,6 +506,7 @@ class HNSW:
                     max_upper_iters=sc.max_upper_iters, levels_cap=self.levels_cap,
                     precision=self.cfg.precision,
                     search_degree=sc.search_degree,
+                    dedupe_candidates=sc.dedupe_candidates,
                 )
             if squeeze:
                 return s[0], i[0]

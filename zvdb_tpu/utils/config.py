@@ -104,6 +104,10 @@ class SearchConfig:
     # expanded node; None = full row. Halving the degree ~halves the per-hop
     # vector-gather rows (the dominant cost) for a small recall hit.
     search_degree: Optional[int] = None
+    # Exact in-hop candidate dedupe (O(C^2) bool matrix per hop — GBs at large
+    # batch). Off trades a little beam capacity for much cheaper hops; final
+    # results are always deduped either way.
+    dedupe_candidates: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
