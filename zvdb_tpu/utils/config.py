@@ -100,9 +100,11 @@ class SearchConfig:
     max_iters: Optional[int] = None
     # Max greedy hops per upper layer.
     max_upper_iters: int = 32
-    # Use only the first `search_degree` (distance-sorted) neighbors of each
-    # expanded node; None = full row. Halving the degree ~halves the per-hop
-    # vector-gather rows (the dominant cost) for a small recall hit.
+    # Use only the first `search_degree` neighbors of each expanded node;
+    # None = full row. CAUTION (measured): rows are stored nearest-first, so
+    # truncation strips exactly the diversity (inter-cluster) edges and recall
+    # collapses (0.95 -> 0.32 at degree 16 on clustered data). Only useful if
+    # rows are re-ordered diversity-first at build time (future work).
     search_degree: Optional[int] = None
     # Exact in-hop candidate dedupe (O(C^2) bool matrix per hop — GBs at large
     # batch). Off trades a little beam capacity for much cheaper hops; final
