@@ -405,6 +405,49 @@ build_batch_step = functools.partial(
 # orchestration
 
 
+def reorder_rows_diverse(state: HNSWState, cfg: HNSWConfig) -> HNSWState:
+    """Reorder every base-layer adjacency row diversity-first.
+
+    Rows end up nearest-first after the reverse-edge merges, so truncated-degree
+    search (SearchConfig.search_degree) reads only intra-cluster edges and
+    recall collapses (measured 0.95 -> 0.32 at degree 16). This one-shot pass
+    re-runs the RNG diversity rule per row and stores kept (diverse) edges
+    first, making truncation read a degree-d diverse subgraph. O(N * M0^2 * D)
+    on the MXU + one N*M0-row gather — sub-second at 100k.
+    """
+    cap = state.vectors.shape[0]
+    tile = 8192
+
+    @functools.partial(jax.jit, static_argnames=("t",))
+    def fix_tile(state, lo, t):
+        rows = lo + jnp.arange(t, dtype=jnp.int32)
+        nbr = jax.lax.dynamic_slice(state.nbr0, (lo, 0), (t, state.nbr0.shape[1]))
+        dst = jax.lax.dynamic_slice(state.dist0, (lo, 0), (t, state.dist0.shape[1]))
+        base_vec = jnp.take(state.vectors, rows, axis=0).astype(jnp.float32)
+        base_norm = jnp.take(state.norms, rows, axis=0)
+        # select_neighbors wants surrogate scores; stored dists are true metric
+        scores = dst - (base_norm[:, None] if cfg.metric == "l2" else 0.0)
+        with jax.default_matmul_precision(
+            cfg.precision if cfg.precision != "default" else "high"
+        ):
+            new_ids, new_d = select_neighbors(
+                state, base_vec, base_norm, nbr, scores,
+                state.nbr0.shape[1], cfg.alpha, cfg.metric,
+            )
+        live = jnp.take(state.levels, rows) >= 0
+        new_ids = jnp.where(live[:, None], new_ids, nbr)
+        new_d = jnp.where(live[:, None], new_d, dst)
+        return state._replace(
+            nbr0=jax.lax.dynamic_update_slice(state.nbr0, new_ids, (lo, 0)),
+            dist0=jax.lax.dynamic_update_slice(state.dist0, new_d, (lo, 0)),
+        )
+
+    for lo in range(0, cap, tile):
+        t = min(tile, cap - lo)
+        state = fix_tile(state, jnp.asarray(lo, jnp.int32), t)
+    return state
+
+
 def _run_batches(state, x, levels, ext, cfg, levels_cap,
                  start_batch: int = 0, on_batch=None):
     n = x.shape[0]
@@ -503,6 +546,8 @@ def bulk_build(
                                       levels_cap, t + 1, cap)
             return st
     state = _run_batches(state, xs, ls, ext, cfg, levels_cap, on_batch=on_batch)
+    if cfg.diverse_rows:
+        state = reorder_rows_diverse(state, cfg)
     return state, cap, levels_cap
 
 

@@ -61,6 +61,10 @@ class HNSWConfig:
     # candidates for direction diversity — so the cap is off by default; use it
     # only when build time matters more than graph quality.
     select_cap: int = 0
+    # Reorder base-layer rows diversity-first after bulk build (one cheap MXU
+    # pass) so truncated-degree search (SearchConfig.search_degree) traverses
+    # a diverse subgraph instead of intra-cluster edges only.
+    diverse_rows: bool = False
     # Run a full beam search at every upper layer during build (canonical but
     # slow: one while_loop per layer per batch). Off = greedy descent only;
     # upper-layer edges come from level-filtered base candidates + intra-batch.
