@@ -314,19 +314,15 @@ def _build_batch_body(
     eye = jnp.eye(b, dtype=bool)
     intra = jnp.where(eye | ~valid[None, :], INF, intra)
 
-    nbr0_t, nbrU_t = state.nbr0, state.nbrU
-    dist0_t, distU_t = state.dist0, state.distU
-    fwd_by_layer = {}
-    for ell in range(0, levels_cap + 1):
-        degree = m0 if ell == 0 else m
+    def layer_edges(ell, degree, k_intra):
+        """Forward selection for one layer: returns (fwd ids, fwd dists, padded
+        row blocks). Shared by the unconditional base layer and the
+        cond-wrapped upper layers."""
         active = valid & (lb >= ell)
-
         # intra candidates restricted to batch points that reach this layer.
-        # Width matches the construction beam so first-batch inserts (whose only
-        # candidates are intra-batch) see as rich a pool as graph-searched ones.
-        col_ok = valid & (lb >= ell)
-        intra_l = jnp.where(col_ok[None, :], intra, INF)
-        k_intra = min(b, cfg.ef_construction if ell == 0 else cfg.ef_construction_upper)
+        # Width matches the construction beam so first-batch inserts (whose
+        # only candidates are intra-batch) see as rich a pool as searched ones.
+        intra_l = jnp.where(active[None, :], intra, INF)
         i_s, i_c = T.smallest_k_dense(intra_l, k_intra)
         i_rows = jnp.where(jnp.isfinite(i_s), base + i_c.astype(jnp.int32), -1)
         i_s = jnp.where(i_rows >= 0, i_s, INF)
@@ -342,8 +338,6 @@ def _build_batch_body(
         )
         fwd = jnp.where(active[:, None], fwd, -1)
         fwd_d = jnp.where(fwd >= 0, fwd_d, INF)
-        fwd_by_layer[ell] = (fwd, fwd_d)
-
         pad_w = degree - m
         if pad_w > 0:
             row_ids = jnp.concatenate(
@@ -354,33 +348,39 @@ def _build_batch_body(
             )
         else:
             row_ids, row_ds = fwd[:, :degree], fwd_d[:, :degree]
-        if ell == 0:
-            nbr0_t = jax.lax.dynamic_update_slice(nbr0_t, row_ids, (base, 0))
-            dist0_t = jax.lax.dynamic_update_slice(dist0_t, row_ds, (base, 0))
-        else:
-            nbrU_t = jax.lax.dynamic_update_slice(
-                nbrU_t, row_ids[None], (ell - 1, base, 0)
-            )
-            distU_t = jax.lax.dynamic_update_slice(
-                distU_t, row_ds[None], (ell - 1, base, 0)
-            )
-    state = state._replace(nbr0=nbr0_t, nbrU=nbrU_t, dist0=dist0_t, distU=distU_t)
+        return fwd, fwd_d, row_ids, row_ds
 
-    # ---- 4. reverse edges (gather-free nearest-degree merge) -------------
-    fwd0, fwd0_d = fwd_by_layer[0]
-    nbr0_t, dist0_t = _reverse_pass(
-        state.nbr0, state.dist0, rows, fwd0, fwd0_d, m0
+    # ---- base layer: forward edges + reverse merge (always) --------------
+    fwd0, fwd0_d, row_ids, row_ds = layer_edges(
+        0, m0, min(b, cfg.ef_construction)
     )
+    nbr0_t = jax.lax.dynamic_update_slice(state.nbr0, row_ids, (base, 0))
+    dist0_t = jax.lax.dynamic_update_slice(state.dist0, row_ds, (base, 0))
+    nbr0_t, dist0_t = _reverse_pass(nbr0_t, dist0_t, rows, fwd0, fwd0_d, m0)
     state = state._replace(nbr0=nbr0_t, dist0=dist0_t)
+
+    # ---- upper layers: cond-skipped when no batch point reaches them -----
+    # (with level-sorted bulk build, all upper-layer work concentrates in the
+    # first batches; the ~300-470 ms/layer select+reverse fusions then no-op at
+    # runtime for every later batch — measured 66% of steady-state batch time)
+    nbrU_t, distU_t = state.nbrU, state.distU
+    k_intra_u = min(b, cfg.ef_construction_upper)
     for ell in range(1, levels_cap + 1):
-        fwdl, fwdl_d = fwd_by_layer[ell]
-        tab, dtab = _reverse_pass(
-            state.nbrU[ell - 1], state.distU[ell - 1], rows, fwdl, fwdl_d, m
+        def work(ops, ell=ell):
+            tab, dtab = ops
+            fwd, fwd_d, row_ids, row_ds = layer_edges(ell, m, k_intra_u)
+            tab = jax.lax.dynamic_update_slice(tab, row_ids, (base, 0))
+            dtab = jax.lax.dynamic_update_slice(dtab, row_ds, (base, 0))
+            return _reverse_pass(tab, dtab, rows, fwd, fwd_d, m)
+
+        any_here = jnp.any(valid & (lb >= ell))
+        tab, dtab = jax.lax.cond(
+            any_here, work, lambda ops: ops,
+            (nbrU_t[ell - 1], distU_t[ell - 1]),
         )
-        state = state._replace(
-            nbrU=state.nbrU.at[ell - 1].set(tab),
-            distU=state.distU.at[ell - 1].set(dtab),
-        )
+        nbrU_t = nbrU_t.at[ell - 1].set(tab)
+        distU_t = distU_t.at[ell - 1].set(dtab)
+    state = state._replace(nbrU=nbrU_t, distU=distU_t)
 
     # ---- 5. bookkeeping -------------------------------------------------
     lb_masked = jnp.where(valid, lb, -1)
