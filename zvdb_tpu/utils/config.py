@@ -54,7 +54,8 @@ class HNSWConfig:
     # "default" = platform default (bf16 on TPU; fastest, LOSSY — avoid).
     precision: str = "high"
     # Build-time beam batched-expansion width (candidates expanded per hop).
-    build_expand: int = 4
+    # 8 measured ~25% faster builds than 4 at equal recall (fewer, fatter hops).
+    build_expand: int = 8
     # Cap on the candidate pool entering diversity pruning (the O(C^2 D)
     # pairwise matmul dominates build time). 0 = no cap. Measured: capping to
     # 64 costs ~6 points of recall@10 — the RNG rule genuinely selects distant
