@@ -89,6 +89,20 @@ def test_ivf_incremental_add(rng):
     assert float(np.asarray(s)[0]) < 1e-6
 
 
+def test_ivf_int8_blocks(rng):
+    # int8 storage: 4x memory, ranking nearly preserved
+    n, d, k = 8000, 32, 10
+    x = clustered(n, d, seed=11)
+    q = clustered(200, d, seed=12)
+    _, gt = exact_ground_truth(x, q, k)
+    idx = IVFIndex(IVFConfig(dim=d, n_clusters=32, nprobe=8, dtype="int8"))
+    idx.build(x)
+    assert idx.state.blocks.dtype == np.int8
+    _, ids = idx.search(q, k)
+    r = recall_at_k(np.asarray(ids), gt, k)
+    assert r >= 0.9, f"int8 ivf recall {r:.3f}"
+
+
 def test_ivf_save_load(tmp_path, rng):
     x = clustered(3000, 16, seed=8)
     idx = IVFIndex(IVFConfig(dim=16, n_clusters=32))

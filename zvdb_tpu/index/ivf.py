@@ -56,14 +56,18 @@ class IVFConfig:
 
     @property
     def storage_dtype(self):
-        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+        # int8: symmetric per-vector codes + f32 scales (state.b_scales)
+        return {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[self.dtype]
 
 
 class IVFState(NamedTuple):
     centroids: jax.Array   # [C, D] f32
     c_norms: jax.Array     # [C] f32 (squared norms; zeros for dot/cosine)
-    blocks: jax.Array      # [C, Bcap, D] storage dtype
+    blocks: jax.Array      # [C, Bcap, D] storage dtype (f32/bf16/int8 codes)
     b_norms: jax.Array     # [C, Bcap] f32, +inf padding
+    b_scales: jax.Array    # [C, Bcap] f32 dequant scales (1.0 for float dtypes)
     b_ids: jax.Array       # [C, Bcap] int32 external ids, -1 padding
     counts: jax.Array      # [C] int32
     n: jax.Array           # scalar int32
@@ -241,6 +245,7 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
             "cqd,cbd->cqb", qv, state.blocks.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )                                                          # [C, Qcap, Bcap]
+        dots = dots * state.b_scales[:, None, :]   # 1.0 for float dtypes
         if metric == "l2":
             s = state.b_norms[:, None, :] - 2.0 * dots
         else:
@@ -357,13 +362,25 @@ class IVFIndex:
         b_norms = (blocks ** 2).sum(-1).astype(np.float32) if cfg.metric == "l2" \
             else np.zeros((c, cap), np.float32)
         b_norms[b_ids < 0] = np.inf
+        if cfg.dtype == "int8":
+            amax = np.abs(blocks).max(axis=-1)
+            b_scales = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+            stored = np.clip(
+                np.round(blocks / b_scales[..., None]), -127, 127
+            ).astype(np.int8)
+        else:
+            b_scales = np.ones((c, cap), np.float32)
+            stored = blocks.astype(
+                np.float32 if cfg.dtype == "float32" else np.float32
+            )
         centj = jnp.asarray(cent, jnp.float32)
         return IVFState(
             centroids=centj,
             c_norms=D.sq_norms(centj) if cfg.metric == "l2"
             else jnp.zeros((c,), jnp.float32),
-            blocks=jnp.asarray(blocks, cfg.storage_dtype),
+            blocks=jnp.asarray(stored, cfg.storage_dtype),
             b_norms=jnp.asarray(b_norms),
+            b_scales=jnp.asarray(b_scales),
             b_ids=jnp.asarray(b_ids),
             counts=jnp.asarray(counts),
             n=jnp.asarray(n, jnp.int32),
@@ -467,6 +484,7 @@ class IVFIndex:
                     c_norms=jnp.asarray(z["c_norms"]),
                     blocks=jnp.asarray(z["blocks"], cfg.storage_dtype),
                     b_norms=jnp.asarray(z["b_norms"]),
+                    b_scales=jnp.asarray(z["b_scales"]),
                     b_ids=jnp.asarray(z["b_ids"]),
                     counts=jnp.asarray(z["counts"]),
                     n=jnp.asarray(z["n"]),

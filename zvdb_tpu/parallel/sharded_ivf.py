@@ -74,6 +74,7 @@ class ShardedIVF:
         c_norms = stack("c_norms", np.inf)       # +inf: l2 pad never probed
         blocks = stack("blocks", 0)
         b_norms = stack("b_norms", np.inf)
+        b_scales = stack("b_scales", 1.0)
         b_ids = stack("b_ids", -1)
         cnt = stack("counts", 0)
         mask = np.zeros((s, c_loc), bool)
@@ -86,6 +87,7 @@ class ShardedIVF:
             c_norms=jax.device_put(jnp.asarray(c_norms), sh),
             blocks=jax.device_put(jnp.asarray(blocks, self.cfg.storage_dtype), sh),
             b_norms=jax.device_put(jnp.asarray(b_norms), sh),
+            b_scales=jax.device_put(jnp.asarray(b_scales), sh),
             b_ids=jax.device_put(jnp.asarray(b_ids), sh),
             counts=jax.device_put(jnp.asarray(cnt), sh),
             n=jax.device_put(
