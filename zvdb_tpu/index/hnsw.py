@@ -27,7 +27,6 @@ Deliberate fixes over the reference (SURVEY.md §2.1 / fidelity ledger):
 """
 from __future__ import annotations
 
-import functools
 import math
 import threading
 from typing import NamedTuple, Optional, Tuple

@@ -11,7 +11,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 SHARD_AXIS = "shard"   # corpus (N) partition — the EP/TP analog for a vector DB
 DATA_AXIS = "data"     # query-batch partition — DP

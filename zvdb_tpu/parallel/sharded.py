@@ -18,8 +18,7 @@ Design (TPU-native, scaling-book recipe):
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

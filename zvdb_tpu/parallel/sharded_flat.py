@@ -10,7 +10,6 @@ final [B, S*k] merge.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -22,7 +21,7 @@ from ..index.flat import FlatState
 from ..ops import distance as D
 from ..ops import topk as T
 from ..utils.config import FlatConfig
-from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+from .mesh import SHARD_AXIS, make_mesh
 from .sharded import shard_map
 
 

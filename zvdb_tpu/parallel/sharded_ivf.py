@@ -14,7 +14,6 @@ work is 1/S of the single-chip scan at matched total nprobe.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
