@@ -190,7 +190,8 @@ def split_oversized(x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
 def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
                     metric: str, precision: str = "float32",
                     group_slack: float = 4.0,
-                    c_mask: Optional[jax.Array] = None):
+                    c_mask: Optional[jax.Array] = None,
+                    residual: bool = False):
     """Batched IVF search, query-grouped. Returns (user_scores [B,k], ext_ids [B,k]).
 
     TPU rationale: gathering each query's probed blocks costs ~7ns per 512B
@@ -246,6 +247,19 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
             preferred_element_type=jnp.float32,
         )                                                          # [C, Qcap, Bcap]
         dots = dots * state.b_scales[:, None, :]   # 1.0 for float dtypes
+        if residual:
+            # blocks hold residual codes: q.x = q.centroid + q.residual.
+            # q.centroid is recovered exactly from the probe-scoring matmul:
+            # l2 surrogate cs = ||cent||^2 - 2 q.cent; dot/cos: cs = bias - q.cent
+            qd = jnp.take_along_axis(
+                cs.T, jnp.maximum(qslot, 0), axis=1
+            )                                                      # [C, Qcap]
+            if metric == "l2":
+                qdotc = 0.5 * (state.c_norms[:, None] - qd)
+            else:
+                qdotc = -qd
+            qdotc = jnp.where(jnp.isfinite(qdotc), qdotc, 0.0)
+            dots = dots + qdotc[:, :, None]
         if metric == "l2":
             s = state.b_norms[:, None, :] - 2.0 * dots
         else:
@@ -284,7 +298,8 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
 
 ivf_search = jax.jit(
     ivf_search_impl,
-    static_argnames=("k", "nprobe", "metric", "precision", "group_slack"),
+    static_argnames=("k", "nprobe", "metric", "precision", "group_slack",
+                     "residual"),
 )
 
 
@@ -363,16 +378,21 @@ class IVFIndex:
             else np.zeros((c, cap), np.float32)
         b_norms[b_ids < 0] = np.inf
         if cfg.dtype == "int8":
-            amax = np.abs(blocks).max(axis=-1)
+            # residual encoding: quantize (x - centroid). Residual magnitudes
+            # are ~an order smaller than raw vectors, so int8 error shrinks
+            # accordingly (measured: raw-int8 capped recall at ~0.83; residual
+            # encoding recovers it). Search adds back q.centroid exactly from
+            # the probe matmul it already computes.
+            resid = blocks - cent[:, None, :]
+            resid[b_ids < 0] = 0.0
+            amax = np.abs(resid).max(axis=-1)
             b_scales = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
             stored = np.clip(
-                np.round(blocks / b_scales[..., None]), -127, 127
+                np.round(resid / b_scales[..., None]), -127, 127
             ).astype(np.int8)
         else:
             b_scales = np.ones((c, cap), np.float32)
-            stored = blocks.astype(
-                np.float32 if cfg.dtype == "float32" else np.float32
-            )
+            stored = blocks
         centj = jnp.asarray(cent, jnp.float32)
         return IVFState(
             centroids=centj,
@@ -449,7 +469,8 @@ class IVFIndex:
             else:
                 np_ = min(nprobe or self.cfg.nprobe, self.state.centroids.shape[0])
                 s, i = ivf_search(
-                    self.state, q, k, np_, self.cfg.metric, self.cfg.precision
+                    self.state, q, k, np_, self.cfg.metric, self.cfg.precision,
+                    residual=self.cfg.dtype == "int8",
                 )
             if squeeze:
                 return s[0], i[0]

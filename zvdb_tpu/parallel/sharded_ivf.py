@@ -107,7 +107,7 @@ class ShardedIVF:
                 st = jax.tree.map(lambda a: a[0], st)
                 s_, i_ = ivf_search_impl(
                     st, q, k, nprobe_local, cfg.metric, cfg.precision,
-                    c_mask=cm[0],
+                    c_mask=cm[0], residual=cfg.dtype == "int8",
                 )
                 return s_[:, None, :], i_[:, None, :]
 
