@@ -48,6 +48,12 @@ class IVFConfig:
     # block capacity = factor * (N / C), rounded up to a multiple of 8
     max_cluster_factor: float = 2.0
     precision: str = "float32"
+    # Exact rerank: merge rerank*k candidates from the (possibly quantized)
+    # scan, rescore them against full-precision shadow vectors, return top-k.
+    # 0 = off. Essential for int8 blocks (quantization noise otherwise caps
+    # recall); costs one small row-gather (B * rerank*k rows).
+    rerank: int = 0
+    rerank_dtype: str = "bfloat16"
     seed: int = 0
 
     def __post_init__(self):
@@ -71,6 +77,8 @@ class IVFState(NamedTuple):
     b_ids: jax.Array       # [C, Bcap] int32 external ids, -1 padding
     counts: jax.Array      # [C] int32
     n: jax.Array           # scalar int32
+    rerank_vecs: jax.Array   # [n, D] shadow vectors (ext-id order; [0,0] = off)
+    rerank_norms: jax.Array  # [n] f32 exact squared norms
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +199,8 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
                     metric: str, precision: str = "float32",
                     group_slack: float = 4.0,
                     c_mask: Optional[jax.Array] = None,
-                    residual: bool = False):
+                    residual: bool = False,
+                    rerank: int = 0):
     """Batched IVF search, query-grouped. Returns (user_scores [B,k], ext_ids [B,k]).
 
     TPU rationale: gathering each query's probed blocks costs ~7ns per 512B
@@ -267,7 +276,7 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         s = jnp.where(state.b_ids[:, None, :] >= 0, s, INF)
         s = jnp.where((qslot >= 0)[:, :, None], s, INF)
 
-        kk = min(k, bcap)
+        kk = min(k * rerank if rerank else k, bcap)
         ts, tpos = jax.lax.top_k(-s, kk)                           # [C, Qcap, kk]
         ts = -ts
         ti = jnp.take_along_axis(
@@ -284,7 +293,16 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         out_i = out_i.at[wq, wp].set(ti)
         merged_s = out_s[:b].reshape(b, p * kk)
         merged_i = out_i[:b].reshape(b, p * kk)
-        best_s, best_i = T.smallest_k(merged_s, merged_i, k)
+        if rerank:
+            cand_s, cand_i = T.smallest_k(merged_s, merged_i, min(k * rerank, p * kk))
+            cand_s, cand_i = T.mask_duplicate_ids(cand_s, cand_i)
+            rv = jnp.take(state.rerank_vecs, jnp.maximum(cand_i, 0), axis=0)
+            rn = jnp.take(state.rerank_norms, jnp.maximum(cand_i, 0), axis=0)
+            ex = D.gathered_scores(qp, rv, rn, metric)
+            ex = jnp.where(cand_i >= 0, ex, INF)
+            best_s, best_i = T.smallest_k(ex, cand_i, k)
+        else:
+            best_s, best_i = T.smallest_k(merged_s, merged_i, k)
 
         user = D.finalize_scores(best_s, qp, metric)
         user = jnp.where(best_i >= 0, user, INF if metric == "l2" else -INF)
@@ -299,7 +317,7 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
 ivf_search = jax.jit(
     ivf_search_impl,
     static_argnames=("k", "nprobe", "metric", "precision", "group_slack",
-                     "residual"),
+                     "residual", "rerank"),
 )
 
 
@@ -394,6 +412,14 @@ class IVFIndex:
             b_scales = np.ones((c, cap), np.float32)
             stored = blocks
         centj = jnp.asarray(cent, jnp.float32)
+        if cfg.rerank:
+            rr_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[cfg.rerank_dtype]
+            rr = jnp.asarray(x, rr_dtype)                  # ext-id order
+            rrn = jnp.asarray((x.astype(np.float64) ** 2).sum(-1).astype(np.float32)) \
+                if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
+        else:
+            rr = jnp.zeros((0, cfg.dim), jnp.bfloat16)
+            rrn = jnp.zeros((0,), jnp.float32)
         return IVFState(
             centroids=centj,
             c_norms=D.sq_norms(centj) if cfg.metric == "l2"
@@ -404,6 +430,8 @@ class IVFIndex:
             b_ids=jnp.asarray(b_ids),
             counts=jnp.asarray(counts),
             n=jnp.asarray(n, jnp.int32),
+            rerank_vecs=rr,
+            rerank_norms=rrn,
         )
 
     # -- incremental add --------------------------------------------------
@@ -471,6 +499,7 @@ class IVFIndex:
                 s, i = ivf_search(
                     self.state, q, k, np_, self.cfg.metric, self.cfg.precision,
                     residual=self.cfg.dtype == "int8",
+                    rerank=self.cfg.rerank,
                 )
             if squeeze:
                 return s[0], i[0]
@@ -488,6 +517,9 @@ class IVFIndex:
             if self.state is not None:
                 arrays = {f: np.asarray(getattr(self.state, f))
                           for f in IVFState._fields}
+                for key, v in arrays.items():
+                    if str(v.dtype) == "bfloat16":  # npz cannot store bf16
+                        arrays[key] = v.astype(np.float32)
             np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
     @classmethod
@@ -509,5 +541,11 @@ class IVFIndex:
                     b_ids=jnp.asarray(z["b_ids"]),
                     counts=jnp.asarray(z["counts"]),
                     n=jnp.asarray(z["n"]),
+                    rerank_vecs=jnp.asarray(z["rerank_vecs"], cfg.storage_dtype
+                                            if cfg.rerank_dtype == "float32"
+                                            else jnp.bfloat16)
+                    if "rerank_vecs" in z else jnp.zeros((0, cfg.dim), jnp.bfloat16),
+                    rerank_norms=jnp.asarray(z["rerank_norms"])
+                    if "rerank_norms" in z else jnp.zeros((0,), jnp.float32),
                 )
         return idx

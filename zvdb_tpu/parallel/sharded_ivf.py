@@ -75,6 +75,11 @@ class ShardedIVF:
         b_norms = stack("b_norms", np.inf)
         b_scales = stack("b_scales", 1.0)
         b_ids = stack("b_ids", -1)
+        if self.cfg.rerank:
+            raise NotImplementedError(
+                "rerank is not supported on the sharded IVF path yet "
+                "(shadow vectors are ext-id-ordered, not cluster-sharded)"
+            )
         cnt = stack("counts", 0)
         mask = np.zeros((s, c_loc), bool)
         for si, m in enumerate(members):
@@ -92,6 +97,10 @@ class ShardedIVF:
             n=jax.device_put(
                 jnp.asarray([int(st.n)] * s, jnp.int32), sh
             ),
+            rerank_vecs=jax.device_put(
+                jnp.zeros((s, 0, self.cfg.dim), jnp.bfloat16), sh
+            ),
+            rerank_norms=jax.device_put(jnp.zeros((s, 0), jnp.float32), sh),
         )
         self.c_mask = jax.device_put(jnp.asarray(mask), sh)
         self._fns = {}
