@@ -90,7 +90,7 @@ def test_ivf_incremental_add(rng):
 
 
 def test_ivf_int8_blocks(rng):
-    # int8 storage: 4x memory, ranking nearly preserved
+    # int8 residual storage: 4x memory, ranking nearly preserved
     n, d, k = 8000, 32, 10
     x = clustered(n, d, seed=11)
     q = clustered(200, d, seed=12)
@@ -101,6 +101,14 @@ def test_ivf_int8_blocks(rng):
     _, ids = idx.search(q, k)
     r = recall_at_k(np.asarray(ids), gt, k)
     assert r >= 0.9, f"int8 ivf recall {r:.3f}"
+    # exact rerank recovers (nearly) full recall on top of int8 scanning
+    idx2 = IVFIndex(IVFConfig(dim=d, n_clusters=32, nprobe=8, dtype="int8",
+                              rerank=4))
+    idx2.build(x)
+    _, ids2 = idx2.search(q, k)
+    r2 = recall_at_k(np.asarray(ids2), gt, k)
+    assert r2 >= r - 1e-6
+    assert r2 >= 0.95, f"int8+rerank recall {r2:.3f}"
 
 
 def test_ivf_save_load(tmp_path, rng):
