@@ -34,3 +34,20 @@ def test_pallas_scan_dot_and_padding(rng):
     gt = np.argsort(-(q @ x.T), axis=1)[:, :k]
     assert np.mean([set(i[r]) == set(gt[r]) for r in range(b)]) == 1.0
     assert (i >= 0).all() and (i < n).all()
+
+
+def test_pallas_scan_v2_exact(rng):
+    import jax.numpy as jnp
+
+    from zvdb_tpu.ops.pallas_scan2 import flat_topk_pallas2
+
+    n, d, b, k = 3000, 32, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    s, i = flat_topk_pallas2(
+        jnp.asarray(q), jnp.asarray(x), k, interpret=True, chunk=512, q_tile=32
+    )
+    i = np.asarray(i)
+    d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+    assert np.mean([set(i[r]) == set(gt[r]) for r in range(b)]) == 1.0
