@@ -125,7 +125,9 @@ def main(argv=None):
                 sink.write(sr.to_json() + "\n")
                 sink.flush()
 
-    print(json.dumps([r.to_json() for r in results][-1]))
+    # one JSON object on stdout (to_json() already encodes; wrapping it in
+    # json.dumps again would emit a double-encoded string)
+    print(results[-1].to_json())
     if sink:
         sink.close()
 

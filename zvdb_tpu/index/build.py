@@ -83,7 +83,8 @@ def select_neighbors(
     if max_candidates and max_candidates < cand.shape[-1]:
         cand_scores, cand = T.smallest_k(cand_scores, cand, max_candidates)
     safe = jnp.maximum(cand, 0)
-    c_vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)  # [R, C, D]
+    c_vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32) \
+        * state.q_scale  # [R, C, D] (dequantized; scale is 1.0 for float dtypes)
     c_norms = jnp.take(state.norms, safe, axis=0)                        # [R, C]
     valid = cand >= 0
 
@@ -221,7 +222,10 @@ def _build_batch_body(
     rows = base + jnp.arange(b, dtype=jnp.int32)
 
     # ---- 1. ingest ------------------------------------------------------
-    stored, norms = D.preprocess_corpus(xb, metric, cfg.storage_dtype)
+    if cfg.dtype == "int8":
+        stored, norms = D.quantize_corpus_global(xb, metric, state.q_scale)
+    else:
+        stored, norms = D.preprocess_corpus(xb, metric, cfg.storage_dtype)
     vectors = jax.lax.dynamic_update_slice(state.vectors, stored, (base, 0))
     vnorms = jax.lax.dynamic_update_slice(state.norms, norms, (base,))
     levels = jax.lax.dynamic_update_slice(
@@ -232,10 +236,10 @@ def _build_batch_body(
     )
     state = state._replace(vectors=vectors, norms=vnorms, levels=levels, ext_ids=ext_ids)
 
-    q = stored.astype(jnp.float32)
-    if metric == "cosine":
-        # stored vectors are already normalized by preprocess_corpus
-        pass
+    # build queries = dequantized stored vectors (identical to stored for
+    # float dtypes; for int8 this keeps build distances consistent with what
+    # search will measure). cosine inputs are already normalized at ingest.
+    q = stored.astype(jnp.float32) * state.q_scale
     qn = D.sq_norms(q)
 
     # ---- 2. frozen-prefix beams at every layer --------------------------
@@ -247,7 +251,7 @@ def _build_batch_body(
             q,
             jnp.take(state.vectors, jnp.maximum(ep, 0), axis=0)[:, None, :],
             jnp.take(state.norms, jnp.maximum(ep, 0), axis=0)[:, None],
-            metric,
+            metric, scale=state.q_scale,
         )[:, 0],
         INF,
     )
@@ -310,7 +314,7 @@ def _build_batch_body(
             )
 
     # ---- 3. intra-batch brute-force candidates --------------------------
-    intra = D.pairwise_scores(q, stored, jnp.where(valid, qn, INF), metric)  # [B, B]
+    intra = D.pairwise_scores(q, q, jnp.where(valid, qn, INF), metric)  # [B, B]
     eye = jnp.eye(b, dtype=bool)
     intra = jnp.where(eye | ~valid[None, :], INF, intra)
 
@@ -423,7 +427,8 @@ def reorder_rows_diverse(state: HNSWState, cfg: HNSWConfig) -> HNSWState:
         rows = lo + jnp.arange(t, dtype=jnp.int32)
         nbr = jax.lax.dynamic_slice(state.nbr0, (lo, 0), (t, state.nbr0.shape[1]))
         dst = jax.lax.dynamic_slice(state.dist0, (lo, 0), (t, state.dist0.shape[1]))
-        base_vec = jnp.take(state.vectors, rows, axis=0).astype(jnp.float32)
+        base_vec = jnp.take(state.vectors, rows, axis=0).astype(jnp.float32) \
+            * state.q_scale
         base_norm = jnp.take(state.norms, rows, axis=0)
         # select_neighbors wants surrogate scores; stored dists are true metric
         scores = dst - (base_norm[:, None] if cfg.metric == "l2" else 0.0)
@@ -531,6 +536,18 @@ def bulk_build(
     cap = max(capacity, cap_min) if capacity is not None else cap_min
     levels_cap = cfg.max_level if cfg.max_level is not None else max_level_for(cap, cfg.m)
     state = init_state(cap, cfg, levels_cap)
+    if cfg.dtype == "int8":
+        # per-tensor scale from the whole corpus (for cosine: post-normalization
+        # magnitudes are <= 1); later extend_graph batches clip to this scale
+        xs_for_scale = np.asarray(x, np.float32)
+        if cfg.metric == "cosine" and n:
+            xs_for_scale = xs_for_scale / np.maximum(
+                np.linalg.norm(xs_for_scale, axis=1, keepdims=True), 1e-12
+            )
+        amax = float(np.abs(xs_for_scale).max()) if n else 1.0
+        state = state._replace(
+            q_scale=jnp.asarray(max(amax, 1e-12) / 127.0, jnp.float32)
+        )
     if n == 0:
         return state, cap, levels_cap
     levels = sample_levels(key, n, cfg.m, levels_cap, cfg.ml)
@@ -595,6 +612,7 @@ def extend_graph(
             entry=state.entry,
             max_level=state.max_level,
             n=state.n,
+            q_scale=state.q_scale,
         )
         capacity = new_cap
     levels = sample_levels(key, n_new, cfg.m, levels_cap, cfg.ml)

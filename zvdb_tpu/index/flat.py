@@ -189,6 +189,24 @@ class FlatIndex:
         self.capacity = 0
         self.add(x)
 
+    def get(self, ids) -> np.ndarray:
+        """Stored vectors for external ids (row order = insertion order) ->
+        [K, D] f32. Reference parity: search results carry the stored point
+        (src/hnsw.zig:235); dequantized for int8, normalized for cosine."""
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        n = len(self)
+        if ids.size == 0:
+            return np.zeros((0, self.cfg.dim), np.float32)
+        if (ids < 0).any() or (ids >= n).any():
+            raise IndexError(f"ids must be in [0, {n})")
+        rows = jnp.asarray(ids)
+        vecs = np.asarray(
+            jnp.take(self.state.vectors, rows, axis=0).astype(jnp.float32)
+        )
+        if self.cfg.dtype == "int8":
+            vecs = vecs * np.asarray(jnp.take(self.state.scales, rows))[:, None]
+        return vecs
+
     def search(self, q, k: int, approx: bool = False):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
 

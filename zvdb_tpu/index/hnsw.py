@@ -57,6 +57,12 @@ class HNSWState(NamedTuple):
     entry: jax.Array      # scalar int32 internal row (-1 = empty)
     max_level: jax.Array  # scalar int32
     n: jax.Array          # scalar int32 live count
+    # Per-tensor int8 dequant scale (1.0 for float dtypes): x ~= q_scale*codes.
+    # Per-TENSOR, not per-vector, deliberately: a per-vector scale array would
+    # add one more row gather per hop, and gathers are row-count-bound on TPU.
+    # This is the idiomatic analog of the reference's HNSW(i32) instantiation
+    # (src/test_hnsw.zig:239-273).
+    q_scale: jax.Array    # scalar f32
 
 
 def max_level_for(capacity: int, m: int) -> int:
@@ -82,6 +88,7 @@ def init_state(capacity: int, cfg: HNSWConfig, levels_cap: Optional[int] = None)
         entry=jnp.asarray(-1, jnp.int32),
         max_level=jnp.asarray(0, jnp.int32),
         n=jnp.asarray(0, jnp.int32),
+        q_scale=jnp.asarray(1.0, jnp.float32),
     )
 
 
@@ -101,7 +108,7 @@ def _scores_to(state: HNSWState, q: jax.Array, rows: jax.Array, metric: str) -> 
     Invalid rows (< 0 or >= limit handled by caller) get +inf here only for < 0.
     """
     vecs, norms = _gather_vecs(state, rows)
-    s = D.gathered_scores(q, vecs, norms, metric)
+    s = D.gathered_scores(q, vecs, norms, metric, scale=state.q_scale)
     return jnp.where(rows >= 0, s, INF)
 
 
@@ -510,6 +517,36 @@ class HNSW:
             if squeeze:
                 return s[0], i[0]
             return s, i
+
+    def get(self, ids) -> np.ndarray:
+        """Stored vectors for external ids [K] -> [K, D] f32.
+
+        The reference's search returns Node copies carrying the stored point
+        (src/hnsw.zig:214,235; src/test_hnsw.zig:60-66 asserts the returned
+        point equals the stored vector). Values are as-stored: exact for f32,
+        rounded for bf16, dequantized (q_scale*codes) for int8, and normalized
+        for the cosine metric."""
+        with self._lock:
+            self._flush_locked()
+            ids = np.atleast_1d(np.asarray(ids, np.int64))
+            if ids.size == 0 or self.state is None:
+                if ids.size and self.state is None:
+                    raise IndexError("index is empty")
+                return np.zeros((0, self.cfg.dim), np.float32)
+            if (ids < 0).any() or (ids >= self._n_inserted).any():
+                raise IndexError(f"ids must be in [0, {self._n_inserted})")
+            ext = np.asarray(self.state.ext_ids)
+            live = ext >= 0
+            inv = np.full(self._n_inserted, -1, np.int64)
+            inv[ext[live]] = np.nonzero(live)[0]
+            rows = inv[ids]
+            vecs = np.asarray(
+                jnp.take(self.state.vectors, jnp.asarray(rows), axis=0)
+                .astype(jnp.float32)
+            )
+            if self.cfg.dtype == "int8":
+                vecs = vecs * float(self.state.q_scale)
+            return vecs
 
     # -- persistence (absent in the reference; SURVEY.md §5) ---------------
     def save(self, path: str) -> None:

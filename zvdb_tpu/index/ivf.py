@@ -54,6 +54,12 @@ class IVFConfig:
     # recall); costs one small row-gather (B * rerank*k rows).
     rerank: int = 0
     rerank_dtype: str = "float32"  # bf16 shadows rescore WORSE than residual-int8 on concentrated data (measured)
+    # Block capacity packed after k-means splitting = headroom * the largest
+    # actual cluster (rounded up to 8). The scan matmul cost is proportional
+    # to block capacity, so packing to measured occupancy instead of the
+    # pre-split worst case recovers ~3x scan cost at 10M scale; the headroom
+    # above 1.0 is spare per-cluster space that add() appends into in O(new).
+    block_headroom: float = 1.25
     seed: int = 0
 
     def __post_init__(self):
@@ -322,6 +328,86 @@ ivf_search = jax.jit(
 
 
 # ---------------------------------------------------------------------------
+# incremental append (device)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dtype_name", "rerank"), donate_argnums=(0,)
+)
+def _ivf_append(
+    state: IVFState,
+    x: jax.Array,        # [B, D] f32, preprocessed (cosine already normalized)
+    assign: jax.Array,   # [B] int32 target cluster per point
+    valid: jax.Array,    # [B] bool — a PREFIX (padding only at the end)
+    ext0: jax.Array,     # scalar int32: external id of x[0]
+    metric: str,
+    dtype_name: str,
+    rerank: bool,
+) -> IVFState:
+    """Append a batch into spare per-cluster block capacity — O(batch), not O(N).
+
+    Replaces the old full-rebuild flush (which destroyed int8 corpora by
+    re-quantizing codes as raw vectors and reassigned every external id by
+    position). External ids stay dense insertion-order: x[i] gets id ext0+i.
+    The caller guarantees no target cluster overflows its capacity (checked on
+    host; overflow falls back to a repack that reconstructs true vectors).
+    """
+    b = x.shape[0]
+    c, bcap, _ = state.blocks.shape
+    key = jnp.where(valid, assign, c)
+    order = jnp.argsort(key, stable=True)            # cluster-sorted batch
+    sa = key[order]
+    rank = jnp.arange(b, dtype=jnp.int32) - jnp.searchsorted(
+        sa, sa, side="left"
+    ).astype(jnp.int32)
+    counts_ext = jnp.concatenate([state.counts, jnp.zeros((1,), jnp.int32)])
+    slot = jnp.take(counts_ext, sa) + rank           # [B] target slot in block
+    xo = x[order]
+    vo = valid[order]
+    ext = ext0 + order.astype(jnp.int32)             # id of each sorted point
+
+    if dtype_name == "int8":
+        # residual codes against the (frozen) centroids, like _pack
+        centv = jnp.take(state.centroids, jnp.minimum(sa, c - 1), axis=0)
+        resid = xo - centv
+        amax = jnp.max(jnp.abs(resid), axis=-1)
+        scl = jnp.maximum(amax, 1e-12) / 127.0
+        stored = jnp.clip(
+            jnp.round(resid / scl[:, None]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        stored = xo.astype(state.blocks.dtype)
+        scl = jnp.ones((b,), jnp.float32)
+    norms = D.sq_norms(xo) if metric == "l2" else jnp.zeros((b,), jnp.float32)
+
+    # invalid rows target slot=bcap (out of bounds) and are dropped
+    ws = jnp.where(vo, slot, bcap)
+    wc = jnp.minimum(sa, c - 1)
+    blocks = state.blocks.at[wc, ws].set(stored, mode="drop")
+    b_norms = state.b_norms.at[wc, ws].set(norms, mode="drop")
+    b_scales = state.b_scales.at[wc, ws].set(scl, mode="drop")
+    b_ids = state.b_ids.at[wc, ws].set(ext, mode="drop")
+    counts = state.counts.at[jnp.minimum(sa, c - 1)].add(
+        vo.astype(jnp.int32), mode="drop"
+    )
+    n = state.n + jnp.sum(vo).astype(jnp.int32)
+
+    rr, rrn = state.rerank_vecs, state.rerank_norms
+    if rerank:
+        # shadow rows live at their external id; valid is a prefix so one
+        # dynamic_update_slice covers the batch (padding rows are overwritten
+        # by the next append — ids are dense)
+        rr = jax.lax.dynamic_update_slice(rr, x.astype(rr.dtype), (ext0, 0))
+        if metric == "l2":
+            rrn = jax.lax.dynamic_update_slice(rrn, D.sq_norms(x), (ext0,))
+    return IVFState(
+        centroids=state.centroids, c_norms=state.c_norms, blocks=blocks,
+        b_norms=b_norms, b_scales=b_scales, b_ids=b_ids, counts=counts, n=n,
+        rerank_vecs=rr, rerank_norms=rrn,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public class
 
 
@@ -362,7 +448,18 @@ class IVFIndex:
             assign = self._nearest_assign(x, cent)
             rng = np.random.default_rng(cfg.seed + 1)
             cent, assign = split_oversized(x, cent, assign, cap, rng)
-            self.state = self._pack(x, cent, assign, cap)
+            self.state = self._pack(x, cent, assign, self._occupancy_cap(assign, len(cent)))
+
+    def _occupancy_cap(self, assign: np.ndarray, c: int) -> int:
+        """Block capacity from MEASURED occupancy: headroom * largest cluster.
+
+        The grouped-scan matmul cost scales with block capacity, so packing to
+        the pre-split worst case (max_cluster_factor * N/C) wastes up to ~3x
+        scan time at 10M scale; the headroom above 1.0 is spare space that
+        add() appends into without a repack."""
+        max_count = int(np.bincount(assign, minlength=c).max()) if len(assign) else 1
+        cap = int(math.ceil(self.cfg.block_headroom * max(max_count, 1) / 8.0)) * 8
+        return max(cap, 8)
 
     def _nearest_assign(self, x: np.ndarray, cent: np.ndarray) -> np.ndarray:
         """True nearest-centroid assignment for every point (tiled, on device)."""
@@ -413,10 +510,18 @@ class IVFIndex:
             stored = blocks
         centj = jnp.asarray(cent, jnp.float32)
         if cfg.rerank:
+            # shadow rows indexed by external id, capacity-padded so add()
+            # can append in place (padding rows are never gathered: candidate
+            # ids are always < n)
+            rcap = max(1024, -(-n // 1024) * 1024 + 1024)
             rr_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[cfg.rerank_dtype]
-            rr = jnp.asarray(x, rr_dtype)                  # ext-id order
-            rrn = jnp.asarray((x.astype(np.float64) ** 2).sum(-1).astype(np.float32)) \
-                if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
+            rr_np = np.zeros((rcap, cfg.dim), np.float32)
+            rr_np[:n] = x
+            rr = jnp.asarray(rr_np, rr_dtype)              # ext-id order
+            rrn_np = np.zeros((rcap,), np.float32)
+            if cfg.metric == "l2":
+                rrn_np[:n] = (x.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            rrn = jnp.asarray(rrn_np)
         else:
             rr = jnp.zeros((0, cfg.dim), jnp.bfloat16)
             rrn = jnp.zeros((0,), jnp.float32)
@@ -459,14 +564,64 @@ class IVFIndex:
         if self.state is None:
             self.build(new)
             return
-        # gather existing + new, rebuild blocks against existing centroids
-        old_ids = np.asarray(self.state.b_ids)
-        old_blocks = np.asarray(self.state.blocks, np.float32)
-        mask = old_ids >= 0
-        existing = old_blocks[mask]
-        all_x = np.concatenate([existing, new], axis=0)
-        keep_centroids = np.asarray(self.state.centroids)
-        self._rebuild_with_centroids(all_x, keep_centroids)
+        cfg = self.cfg
+        if cfg.metric == "cosine":
+            new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        base = self._n_inserted - new.shape[0]   # first new external id
+        st = self.state
+        c, bcap, _ = st.blocks.shape
+        assign = self._nearest_assign(new, np.asarray(st.centroids))
+        counts = np.asarray(st.counts)
+        addc = np.bincount(assign, minlength=c)
+        # O(new) device append, padded to a chunk multiple to bound compiles
+        bsz = new.shape[0]
+        chunk = 1 << max(10, int(math.ceil(math.log2(max(bsz, 1)))))
+        overflow = int((counts + addc).max()) > bcap
+        if cfg.rerank and base + chunk > st.rerank_vecs.shape[0]:
+            # the PADDED extent must fit: dynamic_update_slice clamps
+            # out-of-bounds starts, which would silently shift shadow rows
+            overflow = True  # shadow array out of capacity — repack regrows it
+        if overflow:
+            self._repack_with_new(new, base)
+            return
+        xb = np.zeros((chunk, cfg.dim), np.float32)
+        xb[:bsz] = new
+        ab = np.zeros((chunk,), np.int32)
+        ab[:bsz] = assign
+        vb = np.zeros((chunk,), bool)
+        vb[:bsz] = True
+        self.state = _ivf_append(
+            st, jnp.asarray(xb), jnp.asarray(ab), jnp.asarray(vb),
+            jnp.asarray(base, jnp.int32), cfg.metric, cfg.dtype,
+            rerank=bool(cfg.rerank),
+        )
+
+    def _reconstruct_all(self) -> np.ndarray:
+        """Stored vectors of every live point, indexed by external id [n, D].
+
+        Exact when rerank shadows exist or blocks are float; int8-without-rerank
+        dequantizes residual codes (scale*code + centroid — within quantization
+        error of the original, NOT byte-identical)."""
+        st, cfg = self.state, self.cfg
+        n = int(st.n)
+        if cfg.rerank:
+            return np.asarray(st.rerank_vecs[:n], np.float32)
+        ids = np.asarray(st.b_ids)
+        mask = ids >= 0
+        blocks = np.asarray(st.blocks, np.float32)
+        if cfg.dtype == "int8":
+            blocks = blocks * np.asarray(st.b_scales)[..., None] \
+                + np.asarray(st.centroids)[:, None, :]
+        out = np.empty((n, blocks.shape[-1]), np.float32)
+        out[ids[mask]] = blocks[mask]
+        return out
+
+    def _repack_with_new(self, new: np.ndarray, base: int) -> None:
+        """Overflow path: rebuild blocks from TRUE vectors (reconstructed in
+        external-id order, so every previously returned id stays valid) against
+        the existing centroids, splitting clusters that no longer fit."""
+        x_all = np.concatenate([self._reconstruct_all(), new], axis=0)
+        self._rebuild_with_centroids(x_all, np.asarray(self.state.centroids))
 
     def _rebuild_with_centroids(self, x: np.ndarray, cent: np.ndarray) -> None:
         cfg = self.cfg
@@ -477,7 +632,23 @@ class IVFIndex:
         assign = self._nearest_assign(x, cent)
         rng = np.random.default_rng(cfg.seed + 2)
         cent2, assign = split_oversized(x, cent, assign, cap, rng)
-        self.state = self._pack(x, cent2, assign, cap)
+        self.state = self._pack(x, cent2, assign,
+                                self._occupancy_cap(assign, len(cent2)))
+
+    def get(self, ids) -> np.ndarray:
+        """Stored vectors for external ids — the reference's search returns
+        Node copies carrying the stored point (src/hnsw.zig:214,235;
+        src/test_hnsw.zig:60-66 asserts retrievability). Returns [K, D] f32
+        (dequantized for int8 storage; normalized for cosine, as stored)."""
+        with self._lock:
+            self._flush_locked()
+            ids = np.atleast_1d(np.asarray(ids, np.int64))
+            if self.state is None or ids.size == 0:
+                return np.zeros((ids.size, self.cfg.dim), np.float32)
+            n = int(self.state.n)
+            if (ids < 0).any() or (ids >= n).any():
+                raise IndexError(f"ids must be in [0, {n})")
+            return self._reconstruct_all()[ids]
 
     # -- search -----------------------------------------------------------
     def search(self, q, k: int, nprobe: Optional[int] = None):
@@ -541,7 +712,11 @@ class IVFIndex:
                     b_ids=jnp.asarray(z["b_ids"]),
                     counts=jnp.asarray(z["counts"]),
                     n=jnp.asarray(z["n"]),
-                    rerank_vecs=jnp.asarray(z["rerank_vecs"], cfg.storage_dtype
+                    # shadow vectors are full-precision rescoring data — their
+                    # dtype follows cfg.rerank_dtype, NEVER the block storage
+                    # dtype (casting f32 shadows to int8 silently corrupts
+                    # rerank: measured 4% id agreement after round-trip)
+                    rerank_vecs=jnp.asarray(z["rerank_vecs"], jnp.float32
                                             if cfg.rerank_dtype == "float32"
                                             else jnp.bfloat16)
                     if "rerank_vecs" in z else jnp.zeros((0, cfg.dim), jnp.bfloat16),

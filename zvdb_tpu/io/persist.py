@@ -32,8 +32,14 @@ def save_hnsw(path: str, index) -> None:
     }
     arrays = {}
     if st is not None:
+        # npz stores ml_dtypes bfloat16 as raw void ('|V2') which cannot be
+        # cast back on load — round-trip bf16 vectors through f32 (the load
+        # path casts to cfg.storage_dtype anyway, so this is lossless for bf16)
+        vecs = st.vectors
+        if vecs.dtype == jnp.bfloat16:
+            vecs = vecs.astype(jnp.float32)
         arrays = {
-            "vectors": np.asarray(st.vectors),
+            "vectors": np.asarray(vecs),
             "norms": np.asarray(st.norms),
             "nbr0": np.asarray(st.nbr0),
             "nbrU": np.asarray(st.nbrU),
@@ -44,6 +50,7 @@ def save_hnsw(path: str, index) -> None:
             "entry": np.asarray(st.entry),
             "max_level": np.asarray(st.max_level),
             "n": np.asarray(st.n),
+            "q_scale": np.asarray(st.q_scale),
         }
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -74,5 +81,7 @@ def load_hnsw(path: str):
                 entry=jnp.asarray(z["entry"]),
                 max_level=jnp.asarray(z["max_level"]),
                 n=jnp.asarray(z["n"]),
+                q_scale=jnp.asarray(z["q_scale"]) if "q_scale" in z
+                else jnp.asarray(1.0, jnp.float32),
             )
     return idx

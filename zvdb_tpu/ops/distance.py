@@ -53,6 +53,26 @@ def preprocess_corpus(x: jax.Array, metric: str, dtype=jnp.float32):
     return stored, norms
 
 
+def quantize_corpus_global(x: jax.Array, metric: str, scale: jax.Array):
+    """Per-TENSOR symmetric int8 quantization with a fixed scale (the graph
+    engine's storage path — per-vector scales would cost one extra row gather
+    per search hop). Returns (codes int8, sq_norms f32).
+
+    Norms are of the DEQUANTIZED codes (scale*codes), not the originals, so
+    search scores norms - 2*scale*(q.codes) are the EXACT squared distances to
+    the stored (dequantized) points — the engine is an exact search over its
+    stored data, with quantization loss confined to the representation."""
+    xf = x.astype(jnp.float32)
+    if metric == "cosine":
+        xf = normalize(xf)
+    codes = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    if metric == "l2":
+        norms = scale * scale * sq_norms(codes.astype(jnp.float32))
+    else:
+        norms = jnp.zeros(xf.shape[:-1], jnp.float32)
+    return codes, norms
+
+
 def quantize_corpus(x: jax.Array, metric: str):
     """Symmetric per-vector int8 quantization (the idiomatic analog of the
     reference's integer HNSW instantiation, src/test_hnsw.zig:239-273).
@@ -104,11 +124,14 @@ def pairwise_scores(
 
 
 def gathered_scores(
-    q: jax.Array, cand_vecs: jax.Array, cand_norms: jax.Array, metric: str, precision=None
+    q: jax.Array, cand_vecs: jax.Array, cand_norms: jax.Array, metric: str,
+    precision=None, scale=None,
 ) -> jax.Array:
     """Scores between queries [B, D] and per-query candidates [B, C, D] -> [B, C].
 
     The graph-search hot path: one batched matvec (einsum over D).
+    `scale`: per-tensor dequant scalar for int8 candidate codes (x ~= scale*codes);
+    applied to the dot products only — norms are stored exact.
     """
     dots = jnp.einsum(
         "bd,bcd->bc",
@@ -117,6 +140,8 @@ def gathered_scores(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    if scale is not None:
+        dots = dots * scale
     if metric == "l2":
         return cand_norms - 2.0 * dots
     return -dots

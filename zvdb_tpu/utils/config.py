@@ -40,7 +40,9 @@ class HNSWConfig:
     max_level: Optional[int] = None
     # Diversity pruning relaxation (alpha >= 1.0; 1.0 = strict RNG rule).
     alpha: float = 1.0
-    # Storage dtype for vectors: float32 | bfloat16 (int8 via QuantConfig below).
+    # Storage dtype for vectors: float32 | bfloat16 | int8 (per-tensor
+    # symmetric codes + one scalar dequant scale in HNSWState.q_scale — the
+    # analog of the reference's HNSW(i32) instantiation, src/test_hnsw.zig:239).
     dtype: str = "float32"
     # Build batch size for bulk construction.
     build_batch: int = 1024
@@ -87,7 +89,9 @@ class HNSWConfig:
 
     @property
     def storage_dtype(self):
-        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+        return {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[self.dtype]
 
 
 @dataclasses.dataclass(frozen=True)
