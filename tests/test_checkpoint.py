@@ -7,7 +7,11 @@ from zvdb_tpu import HNSW, HNSWConfig
 
 def test_checkpoint_resume_matches_direct_build(tmp_path, rng):
     x = rng.standard_normal((1200, 16)).astype(np.float32)
-    cfg = HNSWConfig(dim=16, m=8, ef_construction=32, build_batch=256)
+    # checkpoint/resume exists only for the batched build (the oneshot build
+    # has no mid-build state to snapshot) — pin the mode so `direct` uses the
+    # same path as the checkpointed build
+    cfg = HNSWConfig(dim=16, m=8, ef_construction=32, build_batch=256,
+                     build_mode="batched")
     ckpt = str(tmp_path / "build.ckpt.npz")
 
     direct = HNSW(cfg, seed=5)

@@ -18,11 +18,14 @@ from .utils.config import FlatConfig, HNSWConfig, SearchConfig
 from .index.flat import FlatIndex, exact_ground_truth
 from .index.hnsw import HNSW, HNSWState
 from .index.ivf import IVFConfig, IVFIndex
+from .index.cagra import CagraConfig, CagraIndex
 from .serve import SearchServer
 
 __all__ = [
     "HNSW",
     "HNSWState",
+    "CagraIndex",
+    "CagraConfig",
     "FlatIndex",
     "IVFIndex",
     "IVFConfig",

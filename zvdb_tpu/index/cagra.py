@@ -1,0 +1,508 @@
+"""CAGRA-style single-layer graph engine — the fast graph index on TPU.
+
+Rationale (measured, round 1): hierarchical HNSW search on TPU is bound by
+random row gathers (~6-36 ns/row), and the hierarchy's greedy descent spends
+those gathers on routing instead of recall. This engine removes the hierarchy
+entirely (like CAGRA does on GPU) and replaces it with:
+
+  * a single fixed-degree diversity-pruned kNN graph (index/knn_graph.py —
+    built from dense MXU matmuls, no beam searches), and
+  * centroid seeding: the k-means centroids from construction act as the
+    routing structure. One [B, C] matmul ranks all clusters per query; the
+    beam starts at the medoids of the best `n_seeds` clusters — typically 1-2
+    hops from the answer, vs ~log N greedy-descent hops for HNSW.
+
+The base-layer beam loop is shared with HNSW (hnsw.beam_layer_fn) through a
+row-scoring closure. For l2 + float storage the closure uses a PACKED layout:
+vectors and their squared norms live in one [N, D+1] table, so each hop costs
+ONE row gather instead of two (vector + norm) — gathers are row-count-bound,
+so this is ~2x the hop bandwidth of the HNSW layout.
+
+Capability parity with the reference surface (src/hnsw.zig): insert (buffered
+incremental extend), search, plus build/save/load/get and l2/dot/cosine.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import threading
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import topk as T
+from .hnsw import beam_layer_fn
+from .knn_graph import VecStore, build_knn_graph
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class CagraConfig:
+    dim: int
+    degree: int = 32              # fixed out-degree of the graph
+    metric: str = "l2"
+    dtype: str = "float32"        # float32 | bfloat16 | int8 (per-tensor codes)
+    # --- construction (see knn_graph.build_knn_graph) ---
+    block: int = 1024             # target cluster/block size
+    spill: int = 2                # clusters each point joins per pass
+    passes: int = 2               # independent clustering passes
+    kmeans_iters: int = 5
+    alpha: float = 1.2            # diversity-pruning relaxation
+    precision: str = "high"
+    seed_reps: int = 4            # representative rows kept per cluster
+    n_long: int = 4               # random long-range edges per row
+    # --- search defaults ---
+    ef_search: int = 48
+    n_seeds: int = 16             # clusters probed for beam seeds
+    expand: int = 4               # beam entries expanded per hop
+    max_iters: Optional[int] = None
+    # --- incremental insert ---
+    build_batch: int = 2048
+    ef_construction: int = 64
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.metric not in ("l2", "dot", "cosine"):
+            raise ValueError(f"bad metric {self.metric!r}")
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+
+    @property
+    def storage_dtype(self):
+        return {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[self.dtype]
+
+    @property
+    def packed(self) -> bool:
+        """One-gather packed (vector ‖ norm) search layout: l2 + f32 only.
+        bf16 would round the norm column (±0.4% — swamps neighbor gaps);
+        int8 codes cannot carry an f32 norm."""
+        return self.metric == "l2" and self.dtype == "float32"
+
+
+class CagraState(NamedTuple):
+    vectors: jax.Array    # [cap, D] storage dtype (int8: codes)
+    norms: jax.Array      # [cap] f32 (true squared norms for l2; zeros else)
+    nbrs: jax.Array       # [cap+1, degree] int32, -1 padded (row cap = trash)
+    dists: jax.Array      # [cap+1, degree] f32 edge distances (for extends)
+    centroids: jax.Array  # [C, D] f32 routing centroids
+    c_norms: jax.Array    # [C] f32
+    c_rows: jax.Array     # [C, R] int32 representative rows per centroid
+    n: jax.Array          # scalar int32
+    q_scale: jax.Array    # scalar f32 int8 dequant scale (1.0 otherwise)
+
+
+class _SearchArrays(NamedTuple):
+    """What the jitted search actually consumes. `table` is the packed
+    [cap, D+1] layout when cfg.packed, else the raw vectors."""
+    table: jax.Array
+    norms: jax.Array
+    nbrs: jax.Array
+    centroids: jax.Array
+    c_norms: jax.Array
+    c_rows: jax.Array
+    n: jax.Array
+    q_scale: jax.Array
+
+
+def _make_scorer(arrs: _SearchArrays, qp: jax.Array, metric: str, packed: bool):
+    """rows [B, C] -> surrogate scores [B, C]."""
+    if packed:
+        # score = ||x||^2 - 2 q.x = -2 * ([q, -0.5] . [x, ||x||^2])
+        b = qp.shape[0]
+        qe = jnp.concatenate([qp, jnp.full((b, 1), -0.5, jnp.float32)], axis=1)
+
+        def score_rows(rows):
+            safe = jnp.maximum(rows, 0)
+            vx = jnp.take(arrs.table, safe, axis=0)            # ONE gather
+            dots = jnp.einsum("bd,bcd->bc", qe, vx,
+                              preferred_element_type=jnp.float32)
+            return jnp.where(rows >= 0, -2.0 * dots, INF)
+
+        return score_rows
+
+    def score_rows(rows):
+        safe = jnp.maximum(rows, 0)
+        vx = jnp.take(arrs.table, safe, axis=0).astype(jnp.float32)
+        dots = jnp.einsum("bd,bcd->bc", qp, vx,
+                          preferred_element_type=jnp.float32) * arrs.q_scale
+        if metric == "l2":
+            s = jnp.take(arrs.norms, safe, axis=0) - 2.0 * dots
+        else:
+            s = -dots
+        return jnp.where(rows >= 0, s, INF)
+
+    return score_rows
+
+
+def cagra_search_impl(
+    arrs: _SearchArrays,
+    q: jax.Array,
+    k: int,
+    metric: str,
+    ef: int,
+    n_seeds: int,
+    expand: int,
+    max_iters: Optional[int],
+    precision: str,
+    packed: bool,
+):
+    """Returns (user_scores [B, k], ids [B, k]); ids are row ids (== insertion
+    order external ids — the graph never reorders rows)."""
+    def body():
+        qp = D.preprocess_queries(q, metric)
+        efk = max(ef, k)
+        # ---- seeds: one [B, C] matmul over the routing centroids ----------
+        cs = D.pairwise_scores(qp, arrs.centroids, arrs.c_norms, metric)
+        s_count = min(n_seeds, arrs.centroids.shape[0])
+        _, top = jax.lax.top_k(-cs, s_count)                    # [B, S]
+        b = q.shape[0]
+        seeds = jnp.take(arrs.c_rows, top, axis=0).reshape(b, -1)  # [B, S*R]
+        scorer = _make_scorer(arrs, qp, metric, packed)
+        seed_s = scorer(seeds)
+        beam_s, beam_r = beam_layer_fn(
+            scorer, seeds, seed_s, arrs.nbrs, efk,
+            expand=expand, max_iters=max_iters,
+        )
+        beam_s, beam_r = T.mask_duplicate_ids(beam_s, beam_r)
+        top_s, top_r = T.smallest_k(beam_s, beam_r, k)
+        valid = top_r >= 0
+        user = D.finalize_scores(top_s, qp, metric)
+        user = jnp.where(valid, user, INF if metric == "l2" else -INF)
+        nonempty = arrs.n > 0
+        ids = jnp.where(valid & nonempty, top_r, -1)
+        return user, ids
+
+    if precision != "default":
+        with jax.default_matmul_precision(precision):
+            return body()
+    return body()
+
+
+cagra_search = jax.jit(
+    cagra_search_impl,
+    static_argnames=("k", "metric", "ef", "n_seeds", "expand", "max_iters",
+                     "precision", "packed"),
+)
+
+
+# ---------------------------------------------------------------------------
+# incremental extend (single-layer analog of build.py's batch step)
+
+
+def _extend_batch_impl(state: CagraState, xb, valid, cfg: CagraConfig):
+    """Append a batch at rows [n, n+B): beam-search the frozen prefix for
+    candidates, diversity-prune to degree, connect + reverse-merge."""
+    from .build import _reverse_pass, select_neighbors
+
+    def body():
+        b = xb.shape[0]
+        base = state.n
+        rows = base + jnp.arange(b, dtype=jnp.int32)
+        if cfg.dtype == "int8":
+            stored, norms = D.quantize_corpus_global(xb, cfg.metric, state.q_scale)
+        else:
+            stored, norms = D.preprocess_corpus(xb, cfg.metric, cfg.storage_dtype)
+        vectors = jax.lax.dynamic_update_slice(state.vectors, stored, (base, 0))
+        vnorms = jax.lax.dynamic_update_slice(state.norms, norms, (base,))
+        st = state._replace(vectors=vectors, norms=vnorms)
+
+        q = stored.astype(jnp.float32) * st.q_scale
+        qn = D.sq_norms(q)
+        store = VecStore(st.vectors, st.norms, st.q_scale)
+
+        def score_rows(r):
+            safe = jnp.maximum(r, 0)
+            vx = jnp.take(st.vectors, safe, axis=0).astype(jnp.float32)
+            dots = jnp.einsum("bd,bcd->bc", q, vx,
+                              preferred_element_type=jnp.float32) * st.q_scale
+            s = jnp.take(st.norms, safe, axis=0) - 2.0 * dots \
+                if cfg.metric == "l2" else -dots
+            return jnp.where(r >= 0, s, INF)
+
+        # seeds from centroids (clamped to the frozen prefix)
+        cs = D.pairwise_scores(q, st.centroids, st.c_norms, cfg.metric)
+        s_count = min(cfg.n_seeds, st.centroids.shape[0])
+        _, top = jax.lax.top_k(-cs, s_count)
+        seeds = jnp.take(st.c_rows, top, axis=0).reshape(b, -1)
+        seeds = jnp.where(seeds < base, seeds, -1)
+        seed_s = score_rows(seeds)
+        g_s, g_r = beam_layer_fn(
+            score_rows, seeds, seed_s, st.nbrs, cfg.ef_construction,
+            expand=cfg.expand, limit_n=base,
+        )
+        # intra-batch candidates (batchmates are invisible to the beam)
+        intra = D.pairwise_scores(q, q, jnp.where(valid, qn, INF), cfg.metric)
+        intra = jnp.where(jnp.eye(b, dtype=bool) | ~valid[None, :], INF, intra)
+        i_s, i_c = T.smallest_k_dense(intra, min(b, cfg.ef_construction))
+        i_rows = jnp.where(jnp.isfinite(i_s), base + i_c.astype(jnp.int32), -1)
+        i_s = jnp.where(i_rows >= 0, i_s, INF)
+        c_s = jnp.concatenate([g_s, i_s], axis=-1)
+        c_r = jnp.concatenate([g_r, i_rows], axis=-1)
+        c_s, c_r = T.mask_duplicate_ids(c_s, c_r)
+        fwd, fwd_d = select_neighbors(
+            store, q, qn, c_r, c_s, cfg.degree, cfg.alpha, cfg.metric,
+        )
+        fwd = jnp.where(valid[:, None], fwd, -1)
+        fwd_d = jnp.where(fwd >= 0, fwd_d, INF)
+        nbrs = jax.lax.dynamic_update_slice(st.nbrs, fwd, (base, 0))
+        dists = jax.lax.dynamic_update_slice(st.dists, fwd_d, (base, 0))
+        nbrs, dists = _reverse_pass(nbrs, dists, rows, fwd, fwd_d, cfg.degree)
+        n = st.n + jnp.sum(valid).astype(jnp.int32)
+        return st._replace(nbrs=nbrs, dists=dists, n=n)
+
+    if cfg.precision != "default":
+        with jax.default_matmul_precision(cfg.precision):
+            return body()
+    return body()
+
+
+_extend_batch = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(0,)
+)(_extend_batch_impl)
+
+
+# ---------------------------------------------------------------------------
+# public class
+
+
+class CagraIndex:
+    """Single-layer graph index: build/insert/search/save/load/get."""
+
+    def __init__(self, cfg: CagraConfig):
+        self.cfg = cfg
+        self.state: Optional[CagraState] = None
+        self.capacity = 0
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._lock = threading.RLock()
+        self._pending: list[np.ndarray] = []
+        self._n_inserted = 0
+        self._packed_table: Optional[jax.Array] = None  # derived, not saved
+
+    def __len__(self) -> int:
+        with self._lock:
+            n = 0 if self.state is None else int(self.state.n)
+            return n + sum(p.shape[0] for p in self._pending)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    # -- build --------------------------------------------------------------
+    def build(self, x) -> None:
+        """Bulk-build from corpus [N, D] (replaces contents)."""
+        cfg = self.cfg
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        with self._lock:
+            self._pending = []
+            self._n_inserted = n
+            if cfg.metric == "cosine" and n:
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            self._key, sub = jax.random.split(self._key)
+            nbrs, dists, cent, cn, c_rows = build_knn_graph(
+                x, cfg.degree, sub, metric=cfg.metric, block=cfg.block,
+                spill=cfg.spill, passes=cfg.passes,
+                kmeans_iters=cfg.kmeans_iters, alpha=cfg.alpha,
+                precision=cfg.precision, reps=cfg.seed_reps, n_long=cfg.n_long,
+            )
+            q_scale = 1.0
+            if cfg.dtype == "int8":
+                q_scale = max(float(np.abs(x).max()) if n else 1.0, 1e-12) / 127.0
+                stored, norms = D.quantize_corpus_global(
+                    jnp.asarray(x), cfg.metric, jnp.asarray(q_scale, jnp.float32)
+                )
+            else:
+                stored, norms = D.preprocess_corpus(
+                    jnp.asarray(x), cfg.metric, cfg.storage_dtype
+                )
+            self.capacity = n
+            self.state = CagraState(
+                vectors=stored, norms=norms, nbrs=nbrs, dists=dists,
+                centroids=cent, c_norms=cn, c_rows=c_rows,
+                n=jnp.asarray(n, jnp.int32),
+                q_scale=jnp.asarray(q_scale, jnp.float32),
+            )
+            self._packed_table = None
+
+    # -- incremental insert ---------------------------------------------------
+    def insert(self, x) -> None:
+        """Insert one vector [D] or a batch [B, D] (buffered; flushed on the
+        next search — matches the HNSW engine's semantics)."""
+        x = np.array(x, dtype=np.float32, copy=True)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
+            )
+        with self._lock:
+            self._pending.append(x)
+            self._n_inserted += x.shape[0]
+            if sum(p.shape[0] for p in self._pending) >= self.cfg.build_batch:
+                self._flush_locked()
+
+    add = insert
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._pending:
+            return
+        cfg = self.cfg
+        new = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        if self.state is None or int(self.state.n) == 0:
+            n_before = self._n_inserted
+            self.build(new)
+            self._n_inserted = n_before
+            return
+        if cfg.metric == "cosine":
+            new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        bsz = min(cfg.build_batch, max(new.shape[0], 1))
+        nb = -(-new.shape[0] // bsz)
+        need = int(self.state.n) + nb * bsz
+        if need > self.capacity:
+            self._grow(max(need, 2 * self.capacity))
+        st = self.state
+        for t in range(nb):
+            lo, hi = t * bsz, min((t + 1) * bsz, new.shape[0])
+            xb = np.zeros((bsz, cfg.dim), np.float32)
+            xb[: hi - lo] = new[lo:hi]
+            vb = np.zeros((bsz,), bool)
+            vb[: hi - lo] = True
+            st = _extend_batch(st, jnp.asarray(xb), jnp.asarray(vb), cfg)
+        self.state = st
+        self._packed_table = None
+
+    def _grow(self, new_cap: int) -> None:
+        st = self.state
+        cap = self.capacity
+        d = self.cfg.dim
+        deg = self.cfg.degree
+        self.state = CagraState(
+            vectors=jnp.zeros((new_cap, d), self.cfg.storage_dtype)
+            .at[:cap].set(st.vectors),
+            norms=jnp.zeros((new_cap,), jnp.float32).at[:cap].set(st.norms),
+            nbrs=jnp.full((new_cap + 1, deg), -1, jnp.int32)
+            .at[:cap].set(st.nbrs[:-1]),
+            dists=jnp.full((new_cap + 1, deg), jnp.inf, jnp.float32)
+            .at[:cap].set(st.dists[:-1]),
+            centroids=st.centroids, c_norms=st.c_norms, c_rows=st.c_rows,
+            n=st.n, q_scale=st.q_scale,
+        )
+        self.capacity = new_cap
+
+    # -- search ---------------------------------------------------------------
+    def _search_arrays(self) -> _SearchArrays:
+        st = self.state
+        if self.cfg.packed:
+            if self._packed_table is None:
+                self._packed_table = jnp.concatenate(
+                    [st.vectors, st.norms[:, None]], axis=1
+                )
+            table = self._packed_table
+        else:
+            table = st.vectors
+        return _SearchArrays(
+            table=table, norms=st.norms, nbrs=st.nbrs, centroids=st.centroids,
+            c_norms=st.c_norms, c_rows=st.c_rows, n=st.n, q_scale=st.q_scale,
+        )
+
+    def search(self, q, k: int, ef_search: Optional[int] = None):
+        """kNN search. q [D] or [B, D] -> (scores, ids) [B, k] ([k] squeezed).
+        Invalid slots: id -1 (reference returns < k results when n < k)."""
+        with self._lock:
+            self._flush_locked()
+            q = jnp.asarray(q, jnp.float32)
+            squeeze = q.ndim == 1
+            if squeeze:
+                q = q[None, :]
+            if q.shape[-1] != self.cfg.dim:
+                raise ValueError(
+                    f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
+                )
+            cfg = self.cfg
+            if self.state is None or int(self.state.n) == 0:
+                s = jnp.full((q.shape[0], k), INF if cfg.metric == "l2" else -INF)
+                i = jnp.full((q.shape[0], k), -1, jnp.int32)
+            else:
+                s, i = cagra_search(
+                    self._search_arrays(), q, k, cfg.metric,
+                    ef_search if ef_search is not None else cfg.ef_search,
+                    cfg.n_seeds, cfg.expand, cfg.max_iters, cfg.precision,
+                    cfg.packed,
+                )
+            if squeeze:
+                return s[0], i[0]
+            return s, i
+
+    # -- parity/convenience -----------------------------------------------
+    def get(self, ids) -> np.ndarray:
+        """Stored vectors for ids (row order = insertion order) -> [K, D] f32
+        (reference parity: search results carry the stored point,
+        src/hnsw.zig:235). Dequantized for int8; normalized for cosine."""
+        with self._lock:
+            self._flush_locked()
+            ids = np.atleast_1d(np.asarray(ids, np.int64))
+            n = 0 if self.state is None else int(self.state.n)
+            if ids.size == 0:
+                return np.zeros((0, self.cfg.dim), np.float32)
+            if (ids < 0).any() or (ids >= n).any():
+                raise IndexError(f"ids must be in [0, {n})")
+            vecs = np.asarray(
+                jnp.take(self.state.vectors, jnp.asarray(ids), axis=0)
+                .astype(jnp.float32)
+            )
+            if self.cfg.dtype == "int8":
+                vecs = vecs * float(self.state.q_scale)
+            return vecs
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        import json
+
+        with self._lock:
+            self._flush_locked()
+            meta = dict(cfg=dataclasses.asdict(self.cfg),
+                        capacity=self.capacity, n_inserted=self._n_inserted)
+            arrays = {}
+            if self.state is not None:
+                for f in CagraState._fields:
+                    v = np.asarray(getattr(self.state, f))
+                    if str(v.dtype) == "bfloat16":
+                        v = v.astype(np.float32)
+                    arrays[f] = v
+            np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "CagraIndex":
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            cfg = CagraConfig(**meta["cfg"])
+            idx = cls(cfg)
+            idx.capacity = meta["capacity"]
+            idx._n_inserted = meta["n_inserted"]
+            if "vectors" in z:
+                idx.state = CagraState(
+                    vectors=jnp.asarray(z["vectors"], cfg.storage_dtype),
+                    norms=jnp.asarray(z["norms"]),
+                    nbrs=jnp.asarray(z["nbrs"]),
+                    dists=jnp.asarray(z["dists"]),
+                    centroids=jnp.asarray(z["centroids"]),
+                    c_norms=jnp.asarray(z["c_norms"]),
+                    c_rows=jnp.asarray(z["c_rows"]),
+                    n=jnp.asarray(z["n"]),
+                    q_scale=jnp.asarray(z["q_scale"]),
+                )
+        return idx

@@ -116,13 +116,19 @@ def _scores_to(state: HNSWState, q: jax.Array, rows: jax.Array, metric: str) -> 
 # greedy descent over one upper layer
 
 
-def _greedy_layer(
-    state: HNSWState,
-    q: jax.Array,            # [B, D] f32 (preprocessed)
+def make_scorer(state, q: jax.Array, metric: str):
+    """Row-scoring closure rows [B, C] -> surrogate scores [B, C] for a fixed
+    (state, preprocessed-query-batch, metric). The beam/greedy kernels are
+    written against this interface so alternative storage layouts (e.g. the
+    CAGRA engine's packed norm column) plug in without touching the loops."""
+    return lambda rows: _scores_to(state, q, rows, metric)
+
+
+def _greedy_layer_fn(
+    score_rows,              # rows [B, C] -> scores [B, C]
     ep: jax.Array,           # [B] int32 current entry rows
     ep_score: jax.Array,     # [B] f32
     nbrs: jax.Array,         # [cap+1, M] adjacency of this layer
-    metric: str,
     max_iters: int,
 ):
     """Batched greedy walk: move each query to its best neighbor until no improvement."""
@@ -134,7 +140,7 @@ def _greedy_layer(
     def body(carry):
         ep, ep_score, _, it = carry
         cand = jnp.take(nbrs, jnp.maximum(ep, 0), axis=0)  # [B, M]
-        s = _scores_to(state, q, cand, metric)
+        s = score_rows(cand)
         best_s = jnp.min(s, axis=-1)
         best_i = jnp.argmin(s, axis=-1)
         best_row = jnp.take_along_axis(cand, best_i[:, None], axis=-1)[:, 0]
@@ -148,18 +154,21 @@ def _greedy_layer(
     return ep, ep_score
 
 
+def _greedy_layer(state, q, ep, ep_score, nbrs, metric, max_iters):
+    """Back-compat wrapper over _greedy_layer_fn with the HNSW state scorer."""
+    return _greedy_layer_fn(make_scorer(state, q, metric), ep, ep_score, nbrs, max_iters)
+
+
 # ---------------------------------------------------------------------------
 # beam search over one layer
 
 
-def beam_layer(
-    state: HNSWState,
-    q: jax.Array,             # [B, D] preprocessed queries
+def beam_layer_fn(
+    score_rows,               # rows [B, C] -> surrogate scores [B, C]
     seed_rows: jax.Array,     # [B, S] initial candidate rows (-1 ok)
     seed_scores: jax.Array,   # [B, S]
     nbrs: jax.Array,          # [cap+1, deg] adjacency for this layer
     ef: int,
-    metric: str,
     expand: int = 1,
     max_iters: Optional[int] = None,
     limit_n: Optional[jax.Array] = None,
@@ -237,7 +246,7 @@ def beam_layer(
         cand = cand.reshape(b, -1)
         if limit_n is not None:
             cand = jnp.where(cand < limit_n, cand, -1)
-        c_s = _scores_to(state, q, cand, metric)
+        c_s = score_rows(cand)
         if dedupe_candidates:
             # exact in-hop dedupe: O(C^2) bool matrix — at large B this
             # materializes GBs per hop; disable to trade a little beam
@@ -263,6 +272,28 @@ def beam_layer(
     init = (beam_s, beam_r, expanded, jnp.asarray(0, jnp.int32), jnp.zeros(b, bool))
     beam_s, beam_r, *_ = jax.lax.while_loop(cond, body, init)
     return beam_s, beam_r
+
+
+def beam_layer(
+    state: HNSWState,
+    q: jax.Array,
+    seed_rows: jax.Array,
+    seed_scores: jax.Array,
+    nbrs: jax.Array,
+    ef: int,
+    metric: str,
+    expand: int = 1,
+    max_iters: Optional[int] = None,
+    limit_n: Optional[jax.Array] = None,
+    use_degree: Optional[int] = None,
+    dedupe_candidates: bool = True,
+):
+    """beam_layer_fn with the HNSW state scorer (back-compat surface)."""
+    return beam_layer_fn(
+        make_scorer(state, q, metric), seed_rows, seed_scores, nbrs, ef,
+        expand=expand, max_iters=max_iters, limit_n=limit_n,
+        use_degree=use_degree, dedupe_candidates=dedupe_candidates,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -438,19 +469,27 @@ class HNSW:
         """Bulk-build the index from a corpus [N, D] (replaces current contents).
 
         checkpoint_path + checkpoint_every=K: snapshot the partial graph every
-        K batches; recover with HNSW.resume_build(path) after a crash."""
-        from .build import bulk_build  # local import to avoid cycle
+        K batches; recover with HNSW.resume_build(path) after a crash (forces
+        the batched build path — the oneshot build has no mid-build state)."""
+        from .build import bulk_build, bulk_build_oneshot  # local: avoid cycle
 
         x = np.asarray(x, dtype=np.float32)
+        mode = self.cfg.build_mode
+        oneshot = mode == "oneshot" or (mode == "auto" and not checkpoint_path)
         with self._lock:
             self._pending = []
             self._n_inserted = x.shape[0]
             self._key, sub = jax.random.split(self._key)
-            self.state, self.capacity, self.levels_cap = bulk_build(
-                x, self.cfg, sub, sort_by_level=sort_by_level,
-                checkpoint_path=checkpoint_path,
-                checkpoint_every=checkpoint_every,
-            )
+            if oneshot:
+                self.state, self.capacity, self.levels_cap = bulk_build_oneshot(
+                    x, self.cfg, sub,
+                )
+            else:
+                self.state, self.capacity, self.levels_cap = bulk_build(
+                    x, self.cfg, sub, sort_by_level=sort_by_level,
+                    checkpoint_path=checkpoint_path,
+                    checkpoint_every=checkpoint_every,
+                )
 
     @classmethod
     def resume_build(cls, checkpoint_path: str) -> "HNSW":

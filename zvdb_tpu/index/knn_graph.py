@@ -1,0 +1,380 @@
+"""All-MXU approximate kNN-graph construction via spilled clustering.
+
+This is the TPU answer to incremental graph construction (reference
+src/hnsw.zig:73-170 builds its graph one point at a time under a global
+mutex; round-1's batched beam-search build was still while_loop-bound at
+~3k pts/s). Here the whole graph materializes from dense matmuls:
+
+  1. k-means the corpus into C clusters of ~`block` points (MXU, sampled).
+  2. Assign every point to its `spill` nearest clusters (one [N, C] matmul).
+  3. Pack clusters into contiguous blocks; compute each block's FULL pairwise
+     distance matrix with one batched einsum (MXU) and take the top-k per row
+     — every point gets candidate neighbors from `spill` overlapping blocks.
+  4. Repeat for `passes` independent clusterings (different k-means seeds give
+     different boundaries; the union repairs boundary-loss).
+  5. Merge + dedupe per point, diversity-prune (relative-neighborhood rule)
+     to `degree`, then add reverse edges with per-row re-pruning.
+
+No beam searches, no data-dependent while_loops: the only non-matmul costs
+are the pack/scatter and the pruning gathers. Graph quality matches or beats
+the sequential build (boundary candidates come from TWO views of the corpus;
+reverse edges restore asymmetric misses).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import topk as T
+
+INF = jnp.inf
+
+
+class VecStore(NamedTuple):
+    """Duck-typed stand-in for HNSWState in select_neighbors (vectors/norms/
+    q_scale are the only fields it reads)."""
+    vectors: jax.Array
+    norms: jax.Array
+    q_scale: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# assignment + packing
+
+
+@functools.partial(jax.jit, static_argnames=("spill", "metric", "tile"))
+def _assign_spill(x, xn, cent, cn, spill: int, metric: str, tile: int = 16384):
+    """Per point: its `spill` nearest clusters and the rank-0 score.
+    Returns (assign [N, spill] int32, best_score [N] f32)."""
+    n = x.shape[0]
+    pad = -(-n // tile) * tile - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xt = xp.reshape(-1, tile, x.shape[1])
+
+    def body(_, xt_i):
+        s = D.pairwise_scores(xt_i, cent, cn, metric)
+        neg, idx = jax.lax.top_k(-s, spill)
+        return None, (idx.astype(jnp.int32), -neg[:, 0])
+
+    _, (a, s0) = jax.lax.scan(body, None, xt)
+    return a.reshape(-1, spill)[:n], s0.reshape(-1)[:n]
+
+
+def _pack_blocks(assign: np.ndarray, c: int, bcap: int):
+    """Pack (point, rank) pairs into per-cluster blocks, rank-0 first.
+
+    When a cluster overflows `bcap`, the dropped pairs are its highest-rank
+    (least valuable) spill assignments. Returns (block_pts [C, bcap] int32
+    -1-padded, block_occ [C, bcap] int32 spill-rank of each slot, n_dropped).
+    """
+    n, spill = assign.shape
+    cluster = assign.reshape(-1)
+    rank = np.tile(np.arange(spill, dtype=np.int64), n)
+    point = np.repeat(np.arange(n, dtype=np.int64), spill)
+    order = np.lexsort((rank, cluster))
+    sc, sr, sp = cluster[order], rank[order], point[order]
+    first = np.searchsorted(sc, np.arange(c), side="left")
+    pos_in_cluster = np.arange(n * spill) - first[sc]
+    keep = pos_in_cluster < bcap
+    block_pts = np.full((c, bcap), -1, np.int32)
+    block_occ = np.zeros((c, bcap), np.int32)
+    block_pts[sc[keep], pos_in_cluster[keep]] = sp[keep].astype(np.int32)
+    block_occ[sc[keep], pos_in_cluster[keep]] = sr[keep].astype(np.int32)
+
+    # Guarantee presence: a point dropped from EVERY block (its rank-0 cluster
+    # overflowed too) would end up with no candidates at all — isolated and
+    # unreachable. Pack all absent points, grouped by their rank-0 cluster so
+    # blockmates are near each other, into dedicated overflow blocks.
+    present = np.zeros(n, bool)
+    live = block_pts[block_pts >= 0]
+    present[live] = True
+    missing = np.nonzero(~present)[0]
+    if missing.size:
+        order = np.argsort(assign[missing, 0], kind="stable")
+        mm = missing[order].astype(np.int32)
+        rows = -(-mm.size // bcap)
+        extra = np.full((rows, bcap), -1, np.int32)
+        extra.reshape(-1)[: mm.size] = mm
+        block_pts = np.concatenate([block_pts, extra], axis=0)
+        block_occ = np.concatenate(
+            [block_occ, np.zeros((rows, bcap), np.int32)], axis=0
+        )
+    return block_pts, block_occ, int((~keep).sum())
+
+
+# ---------------------------------------------------------------------------
+# per-block brute-force kNN + candidate scatter
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "metric"), donate_argnums=(5, 6))
+def _block_knn_scatter(
+    x, xn, block_pts, block_occ, occ_base, cand_s, cand_i, kc: int, metric: str
+):
+    """One chunk of clusters: dense intra-block distance matrix -> top-kc per
+    row -> scatter each slot's candidate list into its point's occurrence lane.
+
+    cand_s/cand_i: [N+1, O, kc] accumulation buffers (row N = trash).
+    occ_base: scalar int32, this pass's first occurrence lane (pass * spill).
+    """
+    cc, bcap = block_pts.shape
+    safe = jnp.maximum(block_pts, 0)
+    v = jnp.take(x, safe, axis=0)                      # [cc, B, D]
+    vn = jnp.take(xn, safe, axis=0)                    # [cc, B]
+    dots = jnp.einsum("cbd,ced->cbe", v, v, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        s = vn[:, None, :] - 2.0 * dots
+    else:
+        s = -dots
+    valid = block_pts >= 0
+    same = block_pts[:, :, None] == block_pts[:, None, :]   # self (and dup slots)
+    s = jnp.where(same | ~valid[:, None, :] | ~valid[:, :, None], INF, s)
+    kk = min(kc, bcap)
+    neg, tp = jax.lax.top_k(-s, kk)                    # [cc, B, kk]
+    ts = -neg
+    tids = jnp.take_along_axis(
+        jnp.broadcast_to(block_pts[:, None, :], s.shape), tp, axis=-1
+    )
+    tids = jnp.where(jnp.isfinite(ts), tids, -1)
+    if kk < kc:
+        ts = jnp.pad(ts, ((0, 0), (0, 0), (0, kc - kk)), constant_values=INF)
+        tids = jnp.pad(tids, ((0, 0), (0, 0), (0, kc - kk)), constant_values=-1)
+
+    npts = cand_s.shape[0] - 1
+    wp = jnp.where(valid, block_pts, npts).reshape(-1)      # invalid -> trash row
+    wo = (occ_base + block_occ).reshape(-1)
+    cand_s = cand_s.at[wp, wo].set(ts.reshape(-1, kc))
+    cand_i = cand_i.at[wp, wo].set(tids.reshape(-1, kc))
+    return cand_s, cand_i
+
+
+# ---------------------------------------------------------------------------
+# merge + diversity prune + reverse edges
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "metric"))
+def _prune_chunk(x, xn, rows, cand_s, cand_i, alpha, degree: int, metric: str):
+    """Dedupe one chunk's merged candidates and diversity-prune to `degree`.
+    Returns (sel [T, degree] int32, sel_d [T, degree] true distances)."""
+    from .build import select_neighbors  # local import avoids a cycle
+
+    cs, ci = T.mask_duplicate_ids(cand_s, cand_i)
+    store = VecStore(x, xn, jnp.asarray(1.0, jnp.float32))
+    base_vec = jnp.take(x, rows, axis=0)
+    base_norm = jnp.take(xn, rows, axis=0)
+    return select_neighbors(store, base_vec, base_norm, ci, cs, degree,
+                            alpha, metric)
+
+
+def build_knn_graph(
+    x: np.ndarray,
+    degree: int,
+    key: jax.Array,
+    metric: str = "l2",
+    block: int = 1024,
+    spill: int = 2,
+    passes: int = 2,
+    kmeans_iters: int = 5,
+    alpha: float = 1.2,
+    reverse: bool = True,
+    balance_slack: float = 1.6,
+    precision: str = "high",
+    prune_chunk: int = 4096,
+    reverse_chunk: int = 65536,
+    reps: int = 4,
+    n_long: int = 4,
+) -> Tuple[np.ndarray, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Build a `degree`-regular approximate kNN graph over x [N, D].
+
+    Returns (nbrs [N+1, degree] int32 -1-padded (row N is the scatter trash
+    row), dists [N+1, degree] f32 true distances, centroids [C, D] f32 of the
+    LAST clustering pass, c_norms [C], c_rows [C, reps] int32 representative
+    rows per cluster) — the centroid set doubles as the search-time seed
+    structure. Representatives are spread across each cluster's
+    distance-to-centroid order, not just the medoid: a k-means cluster that
+    straddles two natural subclusters would otherwise seed searches only into
+    the medoid's subcluster (measured: ~30% of self-queries landed in the
+    wrong component with medoid-only seeding).
+
+    `n_long` random long-range edges are stamped into each row's tail AFTER
+    the reverse pass (NSW-style expander links; a pure kNN graph on clustered
+    data is disconnected by construction, and distance-pruned reverse merges
+    would evict far edges). They are one-directional by design.
+
+    x must already be metric-preprocessed (cosine: normalized). All distances
+    are surrogate-consistent: squared-L2 for l2, -dot for dot/cosine.
+    """
+    from .build import _reverse_pass  # local import avoids a cycle
+
+    n, d = x.shape
+    xj = jnp.asarray(x, jnp.float32)
+    xn = D.sq_norms(xj) if metric == "l2" else jnp.zeros((n,), jnp.float32)
+
+    ctx = jax.default_matmul_precision(precision) if precision != "default" \
+        else _nullcontext()
+    with ctx:
+        if n <= max(degree + 1, 32):
+            return _tiny_graph(xj, xn, n, degree, metric)
+
+        block = int(min(block, max(64, n)))
+        kc = min(degree, block - 1)
+        o_total = passes * spill
+        cand_s = jnp.full((n + 1, o_total, kc), INF, jnp.float32)
+        cand_i = jnp.full((n + 1, o_total, kc), -1, jnp.int32)
+
+        centroids = c_norms = c_rows = None
+        for p in range(passes):
+            key, sub = jax.random.split(key)
+            c = max(1, int(round(n * spill / block)))
+            from .ivf import kmeans  # MXU Lloyd iterations
+            cent = kmeans(np.asarray(xj), c, kmeans_iters, sub,
+                          sample=min(n, 65536))
+            centj = jnp.asarray(cent, jnp.float32)
+            cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
+            assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
+            assign_np = np.asarray(assign)
+            if assign_np.shape[1] < spill:   # c < spill: replicate
+                assign_np = np.pad(assign_np,
+                                   ((0, 0), (0, spill - assign_np.shape[1])),
+                                   mode="edge")
+            bcap = max(8, int(math.ceil(balance_slack * spill * n / c / 8.0)) * 8)
+            bcap = min(bcap, n * spill)
+            block_pts, block_occ, _dropped = _pack_blocks(assign_np, c, bcap)
+
+            # chunk clusters so the [cc, B, B] score tensor stays ~128 MB
+            c_blocks = block_pts.shape[0]   # includes presence-overflow blocks
+            cc = max(1, (1 << 25) // max(bcap * bcap, 1))
+            for lo in range(0, c_blocks, cc):
+                hi = min(lo + cc, c_blocks)
+                bp = np.full((cc, bcap), -1, np.int32)
+                bo = np.zeros((cc, bcap), np.int32)
+                bp[: hi - lo] = block_pts[lo:hi]
+                bo[: hi - lo] = block_occ[lo:hi]
+                cand_s, cand_i = _block_knn_scatter(
+                    xj, xn, jnp.asarray(bp), jnp.asarray(bo),
+                    jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
+                    kc, metric,
+                )
+
+            if p == passes - 1:
+                centroids, c_norms = centj, cn
+                # `reps` representative rows per cluster, spread evenly along
+                # the cluster's distance-to-centroid order (slot 0 = medoid).
+                # Evenly spaced distance bands tend to hit different natural
+                # subclusters when the k-means cluster straddles several.
+                a0 = assign_np[:, 0]
+                s0n = np.asarray(s0)
+                order = np.lexsort((s0n, a0))
+                sa0 = a0[order]
+                starts = np.searchsorted(sa0, np.arange(c), side="left")
+                ends = np.searchsorted(sa0, np.arange(c), side="right")
+                c_rows_np = np.zeros((c, reps), np.int32)
+                for r in range(reps):
+                    frac = r / max(reps, 1)
+                    pos = starts + np.minimum(
+                        (frac * np.maximum(ends - starts, 1)).astype(np.int64),
+                        np.maximum(ends - starts - 1, 0),
+                    )
+                    pos = np.clip(pos, 0, n - 1)
+                    has = ends > starts
+                    c_rows_np[:, r] = np.where(has, order[pos], 0)
+                c_rows = jnp.asarray(c_rows_np)
+
+        # ---- merge + prune ------------------------------------------------
+        # occurrence lanes flattened; row n is the scatter trash row. Chunks
+        # are padded to a fixed width so every iteration reuses one program
+        # (padding rows index the trash row n and their output is dropped by
+        # the update slice staying in-bounds: chunk starts are clamped).
+        cand_s = cand_s.reshape(n + 1, o_total * kc)
+        cand_i = cand_i.reshape(n + 1, o_total * kc)
+        nbrs = jnp.full((n + 1, degree), -1, jnp.int32)
+        dists = jnp.full((n + 1, degree), INF, jnp.float32)
+        alpha_j = jnp.asarray(alpha, jnp.float32)
+        pc = min(prune_chunk, n)
+        for lo in range(0, n, pc):
+            lo = min(lo, n - pc)   # final chunk re-covers the tail
+            rows = jnp.arange(lo, lo + pc, dtype=jnp.int32)
+            cs = jax.lax.dynamic_slice(cand_s, (lo, 0), (pc, cand_s.shape[1]))
+            ci = jax.lax.dynamic_slice(cand_i, (lo, 0), (pc, cand_i.shape[1]))
+            sel, sel_d = _prune_chunk(xj, xn, rows, cs, ci, alpha_j, degree, metric)
+            nbrs = jax.lax.dynamic_update_slice(nbrs, sel, (lo, 0))
+            dists = jax.lax.dynamic_update_slice(dists, sel_d, (lo, 0))
+
+        # ---- reverse edges --------------------------------------------------
+        if reverse:
+            rev_fn = jax.jit(
+                functools.partial(_reverse_pass, degree=degree),
+            )
+            rc = min(reverse_chunk, n)
+            for lo in range(0, n, rc):
+                lo = min(lo, n - rc)   # final chunk re-covers the tail
+                rows = jnp.arange(lo, lo + rc, dtype=jnp.int32)
+                fwd = jax.lax.dynamic_slice(nbrs, (lo, 0), (rc, degree))
+                fwd_d = jax.lax.dynamic_slice(dists, (lo, 0), (rc, degree))
+                nbrs, dists = rev_fn(nbrs, dists, rows, fwd, fwd_d)
+
+        # ---- random long-range edges (post-reverse: distance-pruned merges
+        # would evict them) ---------------------------------------------------
+        if n_long > 0 and n > degree + 1:
+            key, sub = jax.random.split(key)
+            nbrs, dists = _stamp_long_edges(xj, xn, nbrs, dists, sub,
+                                            n_long, metric)
+
+    return nbrs, dists, centroids, c_norms, c_rows
+
+
+@functools.partial(jax.jit, static_argnames=("n_long", "metric"),
+                   donate_argnums=(2, 3))
+def _stamp_long_edges(xj, xn, nbrs, dists, key, n_long: int, metric: str):
+    """Overwrite each row's last n_long slots with random long-range edges."""
+    n = xj.shape[0]
+    degree = nbrs.shape[1]
+    ids = jax.random.randint(key, (n, n_long), 0, n, jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ids = jnp.where(ids == rows, (ids + 1) % n, ids)
+    v = jnp.take(xj, ids, axis=0)                       # [N, L, D]
+    dots = jnp.einsum("nd,nld->nl", xj, v, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        d = xn[:, None] + jnp.take(xn, ids, axis=0) - 2.0 * dots
+    else:
+        d = -dots
+    # row N (trash) keeps its padding
+    ids_full = jnp.concatenate([ids, jnp.full((1, n_long), -1, jnp.int32)])
+    d_full = jnp.concatenate([d, jnp.full((1, n_long), jnp.inf, jnp.float32)])
+    nbrs = nbrs.at[:, degree - n_long:].set(ids_full)
+    dists = dists.at[:, degree - n_long:].set(d_full)
+    return nbrs, dists
+
+
+def _tiny_graph(xj, xn, n, degree, metric):
+    """n <= degree+1ish: exact dense graph, single matmul."""
+    s = D.pairwise_scores(xj, xj, xn, metric)
+    s = jnp.where(jnp.eye(n, dtype=bool), INF, s)
+    kk = min(degree, max(n - 1, 1))
+    neg, idx = jax.lax.top_k(-s, kk)
+    ts = -neg
+    if metric == "l2":
+        ts = ts + xn[:, None]
+    ids = jnp.where(jnp.isfinite(ts), idx.astype(jnp.int32), -1)
+    ts = jnp.where(ids >= 0, ts, INF)
+    if kk < degree:
+        ids = jnp.pad(ids, ((0, 0), (0, degree - kk)), constant_values=-1)
+        ts = jnp.pad(ts, ((0, 0), (0, degree - kk)), constant_values=np.inf)
+    nbrs = jnp.concatenate([ids, jnp.full((1, degree), -1, jnp.int32)])
+    dists = jnp.concatenate([ts, jnp.full((1, degree), np.inf, jnp.float32)])
+    cent = jnp.mean(xj, axis=0, keepdims=True)
+    cn = D.sq_norms(cent) if metric == "l2" else jnp.zeros((1,), jnp.float32)
+    return nbrs, dists, cent, cn, jnp.zeros((1, 1), jnp.int32)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
