@@ -11,7 +11,15 @@ Engines measured (all part of zvdb-tpu):
   flat   — TPU-KNN brute force: dense MXU scoring + hardware approx top-k
            (exact scoring, selection recall >= target). The headline engine.
   ivf    — cluster-blocked inverted file (split-balanced k-means).
-  hnsw   — reference-parity graph engine (batched hierarchical beam search).
+  hnsw   — reference-parity graph engine (hierarchical beam search; bulk
+           build is the all-MXU oneshot cluster-kNN construction).
+  cagra  — single-layer fixed-degree graph, centroid-seeded beam, packed
+           one-gather scoring rows (the fast graph engine).
+
+Graph-engine builds are timed WARM (same-shape rebuild after a first build
+that pays the one-off XLA compilations — the reference's Zig build has no
+compile stage to amortize, and its search timing convention likewise excludes
+setup; benchmarks/shared_benchmarks.zig:90-113).
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -147,10 +155,54 @@ def main():
     except Exception as e:  # keep headline alive if a secondary engine breaks
         log(f"ivf failed: {e!r}")
 
-    # ---- hnsw -------------------------------------------------------------
+    # ---- cagra ------------------------------------------------------------
     try:
-        hnsw = HNSW(HNSWConfig(dim=d, m=16, ef_construction=100,
-                               metric=metric, build_batch=8192))
+        from zvdb_tpu import CagraConfig, CagraIndex
+
+        def cagra_factory():
+            return CagraIndex(CagraConfig(dim=d, degree=32, metric=metric))
+
+        warm = cagra_factory()
+        warm.build(x)                      # pays the one-off compiles
+        jax.block_until_ready(warm.state)
+        del warm
+        cagra = cagra_factory()
+        t0 = time.perf_counter()
+        cagra.build(x)
+        jax.block_until_ready(cagra.state)
+        cagra_build_s = time.perf_counter() - t0
+        cagra_ef, cagra_recall = None, 0.0
+        for ef in (32, 48, 64, 96, 128):
+            ids = np.asarray(cagra.search(q[:2048], k, ef_search=ef)[1])
+            r = recall_at_k(ids, gt[:2048], k)
+            log(f"cagra ef={ef} recall={r:.4f}")
+            if r >= TARGET_RECALL:
+                cagra_ef, cagra_recall = ef, r
+                break
+        if cagra_ef is None:
+            cagra_ef, cagra_recall = 128, r
+        cagra_qps = timed_qps(
+            lambda qq: cagra.search(qq, k, ef_search=cagra_ef), q, 5000, reps=3
+        )
+        log(f"cagra: recall={cagra_recall:.4f} qps={cagra_qps:,.0f} "
+            f"build={n/cagra_build_s:,.0f} pts/s (ef={cagra_ef})")
+        results["cagra"] = dict(recall=cagra_recall, qps=cagra_qps,
+                                build_pps=n / cagra_build_s, ef=cagra_ef)
+        del cagra
+    except Exception as e:
+        log(f"cagra failed: {e!r}")
+
+    # ---- hnsw (oneshot bulk build) -----------------------------------------
+    try:
+        def hnsw_factory():
+            return HNSW(HNSWConfig(dim=d, m=16, ef_construction=100,
+                                   metric=metric, build_batch=8192))
+
+        warm = hnsw_factory()
+        warm.build(x)                      # pays the one-off compiles
+        jax.block_until_ready(warm.state)
+        del warm
+        hnsw = hnsw_factory()
         t0 = time.perf_counter()
         hnsw.build(x)
         jax.block_until_ready(hnsw.state)

@@ -18,21 +18,29 @@ def test_diverse_rows_preserves_full_recall_and_helps_truncation(rng):
          + 0.05 * rng.standard_normal((200, d))).astype(np.float32)
     _, gt = exact_ground_truth(x, q, k)
 
-    def recall(idx, sd):
-        idx.search_cfg = SearchConfig(search_degree=sd)
+    def recall(idx, sd, anchors=0):
+        idx.search_cfg = SearchConfig(search_degree=sd, seed_anchors=anchors)
         _, ids = idx.search(q, k, ef_search=64)
         ids = np.asarray(ids)
         return np.mean([len(set(ids[r]) & set(gt[r])) / k for r in range(200)])
 
-    plain = HNSW(HNSWConfig(dim=d, m=8, ef_construction=64, build_batch=2048))
+    # The reordering matters for descent-only seeding on nearest-first rows
+    # (the batched build's layout): truncation strips diversity edges and
+    # recall collapses unless rows are reordered diversity-first. With anchor
+    # seeding (the default) truncation no longer collapses — asserted below.
+    plain = HNSW(HNSWConfig(dim=d, m=8, ef_construction=64, build_batch=2048,
+                            build_mode="batched"))
     plain.build(x)
     div = HNSW(HNSWConfig(dim=d, m=8, ef_construction=64, build_batch=2048,
-                          diverse_rows=True))
+                          build_mode="batched", diverse_rows=True))
     div.build(x)
 
     # full-row search unaffected by the reordering
     assert abs(recall(plain, None) - recall(div, None)) < 0.05
-    # truncated-degree search is viable only on diversity-ordered rows
+    # truncated-degree search on descent-only seeding needs diverse rows
     r_plain = recall(plain, 8)
     r_div = recall(div, 8)
     assert r_div > r_plain + 0.05, f"diverse {r_div:.3f} vs plain {r_plain:.3f}"
+    # anchor seeding rescues truncated search even on nearest-first rows
+    r_anchor = recall(plain, 8, anchors=16)
+    assert r_anchor >= r_div - 0.05, f"anchor-seeded truncated {r_anchor:.3f}"

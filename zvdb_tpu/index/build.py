@@ -524,50 +524,26 @@ def _subset_knn_layer(
     metric: str,
     key: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Diversity-pruned kNN graph over a subset (one upper HNSW layer).
+    """Navigable graph over a subset (one upper HNSW layer).
 
-    Small subsets get exact chunked brute force (one matmul per chunk);
-    large ones recurse into the cluster-kNN builder. Returns (nbrs [S, degree]
-    int32 GLOBAL row ids, dists [S, degree])."""
-    from .knn_graph import VecStore, build_knn_graph
+    Uses the full cluster-kNN builder (reverse edges + random long-range
+    links) rather than plain exact kNN: upper layers exist to ROUTE greedy
+    descent, and an exact kNN graph over clustered data has no long edges —
+    measured on micro-clustered corpora, exact-kNN upper layers strand the
+    descent in a far micro-cluster and cap full-search recall at ~0.63 where
+    the same base graph reaches 0.98 when seeded well. Returns
+    (nbrs [S, degree] int32 GLOBAL row ids, dists [S, degree])."""
+    from .knn_graph import build_knn_graph
 
     s = rows.shape[0]
     rows_j = jnp.asarray(rows, jnp.int32)
     sub_x = jnp.take(xj, rows_j, axis=0)
-    sub_n = jnp.take(xn, rows_j, axis=0)
-    if s > 16384:
-        nbrs_l, dists_l, *_ = build_knn_graph(
-            np.asarray(sub_x), degree, key, metric=metric, n_long=0,
-        )
-        local = nbrs_l[:s]
-        glob = jnp.where(local >= 0, jnp.take(rows_j, jnp.maximum(local, 0)), -1)
-        return glob, dists_l[:s]
-
-    pool = min(max(2 * degree, 32), max(s - 1, 1))
-    store = VecStore(sub_x, sub_n, jnp.asarray(1.0, jnp.float32))
-    chunk = max(1, min(4096, s))
-    out_i = jnp.full((s, degree), -1, jnp.int32)
-    out_d = jnp.full((s, degree), INF, jnp.float32)
-
-    @functools.partial(jax.jit, static_argnames=("pool", "degree", "metric"))
-    def one(base_rows, pool, degree, metric):
-        bx = jnp.take(sub_x, base_rows, axis=0)
-        bn = jnp.take(sub_n, base_rows, axis=0)
-        sc = D.pairwise_scores(bx, sub_x, sub_n, metric)
-        self_m = base_rows[:, None] == jnp.arange(s)[None, :]
-        sc = jnp.where(self_m, INF, sc)
-        cs, ci = T.smallest_k_dense(sc, pool)
-        ci = jnp.where(jnp.isfinite(cs), ci.astype(jnp.int32), -1)
-        return select_neighbors(store, bx, bn, ci, cs, degree, alpha, metric)
-
-    for lo in range(0, s, chunk):
-        lo = min(lo, max(s - chunk, 0))
-        base_rows = jnp.arange(lo, lo + chunk, dtype=jnp.int32)
-        sel, sel_d = one(base_rows, pool, degree, metric)
-        out_i = jax.lax.dynamic_update_slice(out_i, sel, (lo, 0))
-        out_d = jax.lax.dynamic_update_slice(out_d, sel_d, (lo, 0))
-    glob = jnp.where(out_i >= 0, jnp.take(rows_j, jnp.maximum(out_i, 0)), -1)
-    return glob, out_d
+    nbrs_l, dists_l, *_ = build_knn_graph(
+        np.asarray(sub_x), degree, key, metric=metric, alpha=max(alpha, 1.1),
+    )
+    local = nbrs_l[:s]
+    glob = jnp.where(local >= 0, jnp.take(rows_j, jnp.maximum(local, 0)), -1)
+    return glob, dists_l[:s]
 
 
 def bulk_build_oneshot(
@@ -629,8 +605,11 @@ def bulk_build_oneshot(
     xn = D.sq_norms(xj) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
 
     # ---- base layer -------------------------------------------------------
+    # host copy of the dequantized stored vectors (f32 stores exactly xs —
+    # avoid a device->host pull through the slow relay)
+    x_graph = xs if cfg.dtype == "float32" else np.asarray(xj)
     nbrs, dists, *_ = build_knn_graph(
-        np.asarray(xj), cfg.base_degree, k_base, metric=cfg.metric,
+        x_graph, cfg.base_degree, k_base, metric=cfg.metric,
         alpha=cfg.alpha, precision=prec,
     )
     state = state._replace(
@@ -660,9 +639,25 @@ def bulk_build_oneshot(
         max_level=jnp.asarray(int(levels.max()), jnp.int32),
         n=jnp.asarray(n, jnp.int32),
     )
+    key, k_anchor = jax.random.split(key)
+    state = _attach_anchors(state, n, k_anchor)
     if cfg.diverse_rows:
         state = reorder_rows_diverse(state, cfg)
     return state, cap, levels_cap
+
+
+def _attach_anchors(state: HNSWState, n: int, key: jax.Array) -> HNSWState:
+    """Sample ~n/12 rows as a dense anchor seed table (see HNSWState.anchors)."""
+    if n <= 0:
+        return state
+    a = 1 << max(10, min(15, int(math.ceil(math.log2(max(n, 2) / 12.0)))))
+    if a >= n:
+        rows = jnp.arange(n, dtype=jnp.int32)
+    else:
+        rows = jax.random.choice(key, n, (a,), replace=False).astype(jnp.int32)
+    vecs = jnp.take(state.vectors, rows, axis=0).astype(jnp.float32) * state.q_scale
+    norms = jnp.take(state.norms, rows)
+    return state._replace(anchors=vecs, a_norms=norms, a_rows=rows)
 
 
 def bulk_build(
@@ -717,6 +712,8 @@ def bulk_build(
                                       levels_cap, t + 1, cap)
             return st
     state = _run_batches(state, xs, ls, ext, cfg, levels_cap, on_batch=on_batch)
+    key, k_anchor = jax.random.split(key)
+    state = _attach_anchors(state, n, k_anchor)
     if cfg.diverse_rows:
         state = reorder_rows_diverse(state, cfg)
     return state, cap, levels_cap
@@ -767,6 +764,9 @@ def extend_graph(
             max_level=state.max_level,
             n=state.n,
             q_scale=state.q_scale,
+            anchors=state.anchors,
+            a_norms=state.a_norms,
+            a_rows=state.a_rows,
         )
         capacity = new_cap
     levels = sample_levels(key, n_new, cfg.m, levels_cap, cfg.ml)

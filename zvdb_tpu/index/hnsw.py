@@ -63,6 +63,17 @@ class HNSWState(NamedTuple):
     # This is the idiomatic analog of the reference's HNSW(i32) instantiation
     # (src/test_hnsw.zig:239-273).
     q_scale: jax.Array    # scalar f32
+    # Anchor seed table (may be empty [0, D] -> seeding disabled): a random
+    # ~n/12 sample of stored rows kept DENSE so one [B, A] MXU matmul ranks
+    # them per query. The best anchor is ~the (n/A)-th nearest neighbor, so
+    # the layer-0 beam starts inside the answer's neighborhood even when the
+    # greedy descent strands in a far micro-cluster (measured: descent-only
+    # search capped at ~0.63 recall on 10k-micro-cluster data; anchor-seeded
+    # reaches ~0.98). MXU flops are cheap on TPU; the hops they replace cost
+    # row gathers — the scarce resource.
+    anchors: jax.Array    # [A, D] f32 dequantized copies of anchor rows
+    a_norms: jax.Array    # [A] f32
+    a_rows: jax.Array     # [A] int32
 
 
 def max_level_for(capacity: int, m: int) -> int:
@@ -89,6 +100,9 @@ def init_state(capacity: int, cfg: HNSWConfig, levels_cap: Optional[int] = None)
         max_level=jnp.asarray(0, jnp.int32),
         n=jnp.asarray(0, jnp.int32),
         q_scale=jnp.asarray(1.0, jnp.float32),
+        anchors=jnp.zeros((0, cfg.dim), jnp.float32),
+        a_norms=jnp.zeros((0,), jnp.float32),
+        a_rows=jnp.zeros((0,), jnp.int32),
     )
 
 
@@ -339,6 +353,7 @@ def search_state_impl(
     precision: str = "float32",
     search_degree: Optional[int] = None,
     dedupe_candidates: bool = True,
+    seed_anchors: int = 16,
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
@@ -349,17 +364,17 @@ def search_state_impl(
         with jax.default_matmul_precision(precision):
             return _search_state_body(
                 state, q, k, metric, ef, expand, max_iters, max_upper_iters,
-                levels_cap, search_degree, dedupe_candidates,
+                levels_cap, search_degree, dedupe_candidates, seed_anchors,
             )
     return _search_state_body(
         state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-        search_degree, dedupe_candidates,
+        search_degree, dedupe_candidates, seed_anchors,
     )
 
 
 def _search_state_body(
     state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-    search_degree=None, dedupe_candidates=True,
+    search_degree=None, dedupe_candidates=True, seed_anchors=16,
 ):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
@@ -367,8 +382,17 @@ def _search_state_body(
         state, qp, metric, levels_cap, stop_layer=0, max_upper_iters=max_upper_iters,
         limit_n=None,
     )
+    seeds, seed_s = ep[:, None], ep_score[:, None]
+    if seed_anchors > 0 and state.anchors.shape[0] > 0:
+        # union descent result with the top anchor rows (one [B, A] matmul;
+        # anchors hold exact dequantized vectors so their scores need no gather)
+        a_s = D.pairwise_scores(qp, state.anchors, state.a_norms, metric)
+        s_count = min(seed_anchors, state.anchors.shape[0])
+        neg, top = jax.lax.top_k(-a_s, s_count)
+        seeds = jnp.concatenate([seeds, jnp.take(state.a_rows, top)], axis=1)
+        seed_s = jnp.concatenate([seed_s, -neg], axis=1)
     beam_s, beam_r = beam_layer(
-        state, qp, ep[:, None], ep_score[:, None], state.nbr0, ef, metric,
+        state, qp, seeds, seed_s, state.nbr0, ef, metric,
         expand=expand, max_iters=max_iters, use_degree=search_degree,
         dedupe_candidates=dedupe_candidates,
     )
@@ -392,6 +416,7 @@ search_state = jax.jit(
     static_argnames=(
         "k", "metric", "ef", "expand", "max_iters", "max_upper_iters",
         "levels_cap", "precision", "search_degree", "dedupe_candidates",
+        "seed_anchors",
     ),
 )
 
@@ -552,6 +577,7 @@ class HNSW:
                     precision=self.cfg.precision,
                     search_degree=sc.search_degree,
                     dedupe_candidates=sc.dedupe_candidates,
+                    seed_anchors=sc.seed_anchors,
                 )
             if squeeze:
                 return s[0], i[0]

@@ -146,6 +146,67 @@ def kmeans(x: np.ndarray, n_clusters: int, iters: int, key: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# device-side packing (one corpus upload; no host block assembly)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "cap", "dtype_name", "metric", "rerank",
+                     "rerank_dtype", "rcap"),
+)
+def _pack_device(
+    xd: jax.Array,       # [N, D] f32 corpus, device-resident (preprocessed)
+    cent: jax.Array,     # [C, D] f32
+    order: jax.Array,    # [N] int32: points sorted by cluster
+    sa: jax.Array,       # [N] int32: cluster of order[i]
+    slot: jax.Array,     # [N] int32: block slot of order[i]
+    c: int, cap: int, dtype_name: str, metric: str, rerank: int,
+    rerank_dtype: str, rcap: int,
+) -> IVFState:
+    """Build IVFState entirely on device from (order, cluster, slot) triples.
+
+    The round-1 build assembled [C, cap, D] blocks on the host and shipped
+    them through the ~100-300 MB/s relay (a second full-corpus transfer);
+    here the only upload is the corpus itself and three int32 [N] vectors —
+    the scatter into blocks is a few ms of device time.
+    """
+    n, dim = xd.shape
+    xo = jnp.take(xd, order, axis=0)                         # [N, D]
+    norms = D.sq_norms(xo) if metric == "l2" else jnp.full((n,), 0.0)
+    if dtype_name == "int8":
+        resid = xo - jnp.take(cent, sa, axis=0)
+        amax = jnp.max(jnp.abs(resid), axis=-1)
+        scl = jnp.maximum(amax, 1e-12) / 127.0
+        stored = jnp.clip(jnp.round(resid / scl[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+        stored = xo.astype(dtype)
+        scl = jnp.ones((n,), jnp.float32)
+
+    blocks = jnp.zeros((c, cap, dim), stored.dtype).at[sa, slot].set(stored)
+    b_norms = jnp.full((c, cap), jnp.inf, jnp.float32).at[sa, slot].set(norms)
+    b_scales = jnp.ones((c, cap), jnp.float32).at[sa, slot].set(scl)
+    b_ids = jnp.full((c, cap), -1, jnp.int32).at[sa, slot].set(order)
+    counts = jnp.zeros((c,), jnp.int32).at[sa].add(1)
+    if rerank:
+        rr_dtype = jnp.float32 if rerank_dtype == "float32" else jnp.bfloat16
+        rr = jnp.zeros((rcap, dim), rr_dtype).at[:n].set(xd.astype(rr_dtype))
+        rrn = jnp.zeros((rcap,), jnp.float32)
+        if metric == "l2":
+            rrn = rrn.at[:n].set(D.sq_norms(xd))
+    else:
+        rr = jnp.zeros((0, dim), jnp.bfloat16)
+        rrn = jnp.zeros((0,), jnp.float32)
+    return IVFState(
+        centroids=cent,
+        c_norms=D.sq_norms(cent) if metric == "l2" else jnp.zeros((c,), jnp.float32),
+        blocks=blocks, b_norms=b_norms, b_scales=b_scales, b_ids=b_ids,
+        counts=counts, n=jnp.asarray(n, jnp.int32), rerank_vecs=rr,
+        rerank_norms=rrn,
+    )
+
+
+# ---------------------------------------------------------------------------
 # balanced block assignment (host)
 
 
@@ -206,8 +267,14 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
                     group_slack: float = 4.0,
                     c_mask: Optional[jax.Array] = None,
                     residual: bool = False,
-                    rerank: int = 0):
+                    rerank: int = 0,
+                    id_map: Optional[jax.Array] = None):
     """Batched IVF search, query-grouped. Returns (user_scores [B,k], ext_ids [B,k]).
+
+    `id_map` (optional [n_local] int32): b_ids are treated as LOCAL indices —
+    into rerank shadow rows and id_map — and mapped to external ids only at
+    the end. This is how the sharded path supports rerank: each shard stores
+    its own densely-indexed shadow vectors plus a local->global map.
 
     TPU rationale: gathering each query's probed blocks costs ~7ns per 512B
     sub-row in XLA (measured — gather granularity is the innermost row), which
@@ -312,6 +379,10 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
 
         user = D.finalize_scores(best_s, qp, metric)
         user = jnp.where(best_i >= 0, user, INF if metric == "l2" else -INF)
+        if id_map is not None:
+            best_i = jnp.where(
+                best_i >= 0, jnp.take(id_map, jnp.maximum(best_i, 0)), -1
+            )
         return user, best_i
 
     if precision != "default":
@@ -429,6 +500,13 @@ class IVFIndex:
 
     # -- build ------------------------------------------------------------
     def build(self, x) -> None:
+        """Device-centric bulk build: ONE corpus upload, k-means + assignment
+        + block packing all on device; the host handles only the int32
+        cluster/slot bookkeeping (round-1 assembled blocks on the host and
+        re-shipped them through the relay — 2x the transfer volume and the
+        bulk of the 6k pts/s build time)."""
+        from .knn_graph import _kmeans_device
+
         x = np.asarray(x, np.float32)
         n = x.shape[0]
         with self._lock:
@@ -440,15 +518,34 @@ class IVFIndex:
             c = cfg.n_clusters or max(8, 1 << int(round(math.log2(4 * math.sqrt(max(n, 1))))))
             c = min(c, max(8, n))
             self._key, sub = jax.random.split(self._key)
-            km_metric_x = x
-            cent = kmeans(km_metric_x, c, cfg.kmeans_iters, sub, cfg.kmeans_sample)
+            xd = jnp.asarray(x, jnp.float32)
+            xn = D.sq_norms(xd) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
+            cent = _kmeans_device(xd, c, cfg.kmeans_iters, sub,
+                                  sample=min(n, cfg.kmeans_sample))
+            # l2 geometry drives assignment for every metric (cosine data is
+            # normalized, dot uses the same centroid Voronoi structure)
+            assign = np.asarray(
+                _assign(xd, xn, cent, D.sq_norms(cent))
+            ).astype(np.int64)
 
-            cap = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
-            cap = max(cap, 8)
-            assign = self._nearest_assign(x, cent)
+            cap_split = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
+            cap_split = max(cap_split, 8)
             rng = np.random.default_rng(cfg.seed + 1)
-            cent, assign = split_oversized(x, cent, assign, cap, rng)
-            self.state = self._pack(x, cent, assign, self._occupancy_cap(assign, len(cent)))
+            cent_np, assign = split_oversized(x, np.asarray(cent), assign,
+                                              cap_split, rng)
+            cap = self._occupancy_cap(assign, len(cent_np))
+            order = np.argsort(assign, kind="stable").astype(np.int32)
+            sa = assign[order].astype(np.int32)
+            first = np.searchsorted(sa, np.arange(len(cent_np)), side="left")
+            slot = (np.arange(n) - first[sa]).astype(np.int32)
+            rcap = max(1024, -(-n // 1024) * 1024 + 1024) if cfg.rerank else 0
+            self.state = _pack_device(
+                xd, jnp.asarray(cent_np, jnp.float32), jnp.asarray(order),
+                jnp.asarray(sa), jnp.asarray(slot),
+                c=len(cent_np), cap=cap, dtype_name=cfg.dtype,
+                metric=cfg.metric, rerank=cfg.rerank,
+                rerank_dtype=cfg.rerank_dtype, rcap=rcap,
+            )
 
     def _occupancy_cap(self, assign: np.ndarray, c: int) -> int:
         """Block capacity from MEASURED occupancy: headroom * largest cluster.

@@ -45,6 +45,32 @@ class VecStore(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# device-resident k-means (no host round-trips: the relay moves ~100-300 MB/s,
+# so re-uploading corpus samples per pass would dominate small builds)
+
+
+def _kmeans_device(xj: jax.Array, c: int, iters: int, key: jax.Array,
+                   sample: int = 65536) -> jax.Array:
+    from .ivf import _assign, _update_centroids  # jitted MXU Lloyd pieces
+
+    n = xj.shape[0]
+    k1, k2 = jax.random.split(key)
+    if n > sample:
+        sel = jax.random.choice(k1, n, (sample,), replace=False)
+        xs = jnp.take(xj, sel, axis=0)
+    else:
+        xs = xj
+    m = xs.shape[0]
+    init_sel = jax.random.choice(k2, m, (c,), replace=m < c)
+    cent = jnp.take(xs, init_sel, axis=0)
+    xn = D.sq_norms(xs)
+    for _ in range(iters):
+        a = _assign(xs, xn, cent, D.sq_norms(cent))
+        cent = _update_centroids(xs, a, cent)
+    return cent
+
+
+# ---------------------------------------------------------------------------
 # assignment + packing
 
 
@@ -231,10 +257,8 @@ def build_knn_graph(
         for p in range(passes):
             key, sub = jax.random.split(key)
             c = max(1, int(round(n * spill / block)))
-            from .ivf import kmeans  # MXU Lloyd iterations
-            cent = kmeans(np.asarray(xj), c, kmeans_iters, sub,
-                          sample=min(n, 65536))
-            centj = jnp.asarray(cent, jnp.float32)
+            centj = _kmeans_device(xj, c, kmeans_iters, sub,
+                                   sample=min(n, 65536))
             cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
             assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
             assign_np = np.asarray(assign)

@@ -51,6 +51,9 @@ def save_hnsw(path: str, index) -> None:
             "max_level": np.asarray(st.max_level),
             "n": np.asarray(st.n),
             "q_scale": np.asarray(st.q_scale),
+            "anchors": np.asarray(st.anchors),
+            "a_norms": np.asarray(st.a_norms),
+            "a_rows": np.asarray(st.a_rows),
         }
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -83,5 +86,11 @@ def load_hnsw(path: str):
                 n=jnp.asarray(z["n"]),
                 q_scale=jnp.asarray(z["q_scale"]) if "q_scale" in z
                 else jnp.asarray(1.0, jnp.float32),
+                anchors=jnp.asarray(z["anchors"]) if "anchors" in z
+                else jnp.zeros((0, cfg.dim), jnp.float32),
+                a_norms=jnp.asarray(z["a_norms"]) if "a_norms" in z
+                else jnp.zeros((0,), jnp.float32),
+                a_rows=jnp.asarray(z["a_rows"]) if "a_rows" in z
+                else jnp.zeros((0,), jnp.int32),
             )
     return idx

@@ -84,9 +84,11 @@ class ShardedHNSW:
         self._key = jax.random.PRNGKey(seed)
         self._n = 0
         self._search_fn = None
+        self._pending: list[np.ndarray] = []
+        self._step_fns = {}
 
     def __len__(self) -> int:
-        return self._n
+        return self._n + sum(p.shape[0] for p in self._pending)
 
     # ------------------------------------------------------------------ build
     def build(self, x) -> None:
@@ -136,8 +138,29 @@ class ShardedHNSW:
                 init_state(0, self.cfg, self.levels_cap))),
         )()
 
-        cfg, levels_cap = self.cfg, self.levels_cap
-        specs = _state_specs(state)
+        step = self._make_step()
+        nb = per_pad // bsz
+        for t in range(nb):
+            lo, hi = t * bsz, (t + 1) * bsz
+            state = step(
+                state,
+                jax.device_put(xs[:, lo:hi], shard_sharding),
+                jax.device_put(ls[:, lo:hi], shard_sharding),
+                jax.device_put(es[:, lo:hi], shard_sharding),
+                jax.device_put(vs[:, lo:hi], shard_sharding),
+            )
+        self.state = state
+        self._search_fn = None
+        self._pending = []
+
+    def _make_step(self):
+        """shard_map'd batched build step (shared by build and insert)."""
+        if "step" in self._step_fns:
+            return self._step_fns["step"]
+        cfg, levels_cap, mesh = self.cfg, self.levels_cap, self.mesh
+        specs = jax.tree.map(
+            lambda _: P(SHARD_AXIS), init_state(0, cfg, levels_cap)
+        )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, xb, lb, eb, vb):
@@ -153,18 +176,163 @@ class ShardedHNSW:
                 out_specs=specs,
             )(state, xb, lb, eb, vb)
 
-        nb = per_pad // bsz
+        self._step_fns["step"] = step
+        return step
+
+    # ------------------------------------------------------ incremental insert
+    def insert(self, x) -> None:
+        """Buffered incremental insert; points are routed round-robin across
+        shards and appended with the same shard_map'd batch step as build
+        (flushed on the next search). Global external ids stay dense."""
+        x = np.array(x, np.float32, copy=True)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
+            )
+        self._pending.append(x)
+
+    add = insert
+
+    def flush(self) -> None:
+        self._flush()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        new = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        if self.state is None:
+            self.build(new)
+            return
+        s = self.n_shards
+        base = self._n
+        per = -(-new.shape[0] // s)
+        bsz = min(self.cfg.build_batch, max(per, 1))
+        nb = -(-per // bsz)
+        # capacity: per-shard live counts + appended batch blocks
+        n_per = np.asarray(jax.device_get(self.state.n))   # [S]
+        need = int(n_per.max()) + nb * bsz
+        if need > self.shard_cap:
+            self._grow(max(need, 2 * self.shard_cap))
+        self._key, sub = jax.random.split(self._key)
+        levels = sample_levels(sub, new.shape[0], self.cfg.m, self.levels_cap,
+                               self.cfg.ml)
+        shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        step = self._make_step()
+        state = self.state
         for t in range(nb):
-            lo, hi = t * bsz, (t + 1) * bsz
+            xb = np.zeros((s, bsz, self.cfg.dim), np.float32)
+            lb = np.full((s, bsz), -1, np.int32)
+            eb = np.full((s, bsz), -1, np.int32)
+            vb = np.zeros((s, bsz), bool)
+            for si in range(s):
+                lo = si * per + t * bsz
+                hi = min(lo + bsz, min((si + 1) * per, new.shape[0]))
+                cnt = max(hi - lo, 0)
+                if cnt == 0:
+                    continue
+                xb[si, :cnt] = new[lo:hi]
+                lb[si, :cnt] = levels[lo:hi]
+                eb[si, :cnt] = base + np.arange(lo, hi, dtype=np.int32)
+                vb[si, :cnt] = True
             state = step(
                 state,
-                jax.device_put(xs[:, lo:hi], shard_sharding),
-                jax.device_put(ls[:, lo:hi], shard_sharding),
-                jax.device_put(es[:, lo:hi], shard_sharding),
-                jax.device_put(vs[:, lo:hi], shard_sharding),
+                jax.device_put(xb, shard_sharding),
+                jax.device_put(lb, shard_sharding),
+                jax.device_put(eb, shard_sharding),
+                jax.device_put(vb, shard_sharding),
             )
         self.state = state
+        self._n = base + new.shape[0]
+
+    def _grow(self, new_cap: int) -> None:
+        """Grow every shard's capacity (stacked leaves; trash row re-created
+        at the new cap index)."""
+        bsz = min(self.cfg.build_batch, max(new_cap, 1))
+        new_cap = -(-new_cap // bsz) * bsz
+        s = self.n_shards
+        old = self.state
+        cap = self.shard_cap
+        cfg, levels_cap = self.cfg, self.levels_cap
+        shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+
+        def grow(old):
+            grown = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (s,) + a.shape),
+                init_state(new_cap, cfg, levels_cap),
+            )
+            return HNSWState(
+                vectors=grown.vectors.at[:, :cap].set(old.vectors),
+                norms=grown.norms.at[:, :cap].set(old.norms),
+                nbr0=grown.nbr0.at[:, :cap].set(old.nbr0[:, :-1]),
+                nbrU=grown.nbrU.at[:, :, :cap].set(old.nbrU[:, :, :-1]),
+                dist0=grown.dist0.at[:, :cap].set(old.dist0[:, :-1]),
+                distU=grown.distU.at[:, :, :cap].set(old.distU[:, :, :-1]),
+                levels=grown.levels.at[:, :cap].set(old.levels),
+                ext_ids=grown.ext_ids.at[:, :cap].set(old.ext_ids),
+                entry=old.entry,
+                max_level=old.max_level,
+                n=old.n,
+                q_scale=old.q_scale,
+                anchors=old.anchors,
+                a_norms=old.a_norms,
+                a_rows=old.a_rows,
+            )
+
+        specs = jax.tree.map(lambda _: NamedSharding(self.mesh, P(SHARD_AXIS)),
+                             old)
+        self.state = jax.jit(grow, donate_argnums=(0,),
+                             out_shardings=specs)(old)
+        self.shard_cap = new_cap
         self._search_fn = None
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        import dataclasses
+        import json
+
+        self._flush()
+        meta = dict(cfg=dataclasses.asdict(self.cfg),
+                    search_cfg=dataclasses.asdict(self.search_cfg),
+                    levels_cap=self.levels_cap, shard_cap=self.shard_cap,
+                    n=self._n, n_shards=self.n_shards)
+        arrays = {}
+        if self.state is not None:
+            for f in HNSWState._fields:
+                v = np.asarray(getattr(self.state, f))
+                if str(v.dtype) == "bfloat16":
+                    v = v.astype(np.float32)
+                arrays[f] = v
+        np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedHNSW":
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            cfg = HNSWConfig(**meta["cfg"])
+            scfg = SearchConfig(**meta["search_cfg"])
+            idx = cls(cfg, scfg, mesh=mesh)
+            if idx.n_shards != meta["n_shards"]:
+                raise ValueError(
+                    f"saved with {meta['n_shards']} shards, mesh has {idx.n_shards}"
+                )
+            idx.levels_cap = meta["levels_cap"]
+            idx.shard_cap = meta["shard_cap"]
+            idx._n = meta["n"]
+            if "vectors" in z:
+                sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
+                idx.state = HNSWState(**{
+                    f: jax.device_put(
+                        jnp.asarray(z[f], cfg.storage_dtype if f == "vectors"
+                                    else None), sh
+                    )
+                    for f in HNSWState._fields
+                })
+        return idx
 
     # ----------------------------------------------------------------- search
     def _make_search(self, k: int, ef: int):
@@ -204,6 +372,7 @@ class ShardedHNSW:
         return run
 
     def search(self, q, k: int, ef_search: Optional[int] = None):
+        self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
             s = np.full((q.shape[0], k), np.inf if self.cfg.metric == "l2" else -np.inf)

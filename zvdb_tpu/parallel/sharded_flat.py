@@ -35,9 +35,11 @@ class ShardedFlat:
         self.state = None      # stacked FlatState: leading shard axis
         self._n = 0
         self._fns = {}
+        self._pending: list[np.ndarray] = []
+        self._per_shard_n: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
-        return self._n
+        return self._n + sum(p.shape[0] for p in self._pending)
 
     def build(self, x) -> None:
         x = np.asarray(x, np.float32)
@@ -62,7 +64,133 @@ class ShardedFlat:
             norms=jax.device_put(norms, sh),
             ids=jax.device_put(jnp.asarray(ids), sh),
         )
+        self._per_shard_n = (ids >= 0).sum(1)
+        self._pending = []
         self._fns = {}
+
+    # ------------------------------------------------------ incremental insert
+    def add(self, x) -> None:
+        """Buffered append; flushed on the next search. New rows are routed to
+        the least-loaded shards; global ids stay dense insertion-order."""
+        x = np.array(x, np.float32, copy=True)
+        if x.ndim == 1:
+            x = x[None, :]
+        self._pending.append(x)
+
+    insert = add
+
+    def flush(self) -> None:
+        self._flush()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        new = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        if self.state is None:
+            self.build(new)
+            return
+        s = self.n_shards
+        # least-loaded routing (keeps scan work balanced)
+        order = np.argsort(self._per_shard_n, kind="stable")
+        per = -(-new.shape[0] // s)
+        shard_of = np.empty(new.shape[0], np.int64)
+        for j, si in enumerate(order):
+            shard_of[j * per: (j + 1) * per] = si
+        need = int((np.bincount(shard_of, minlength=s) + self._per_shard_n).max())
+        cap = self.state["vectors"].shape[1]
+        if need > cap:
+            self._grow(max(need, 2 * cap))
+            cap = self.state["vectors"].shape[1]   # pad writes target this OOB row
+        chunk = per
+        xb = np.zeros((s, chunk, self.cfg.dim), np.float32)
+        idb = np.full((s, chunk), -1, np.int32)
+        fill = np.zeros(s, np.int64)
+        for i in range(new.shape[0]):
+            si = shard_of[i]
+            xb[si, fill[si]] = new[i]
+            idb[si, fill[si]] = self._n + i
+            fill[si] += 1
+        stored, norms = D.preprocess_corpus(
+            jnp.asarray(xb), self.cfg.metric, self.cfg.storage_dtype
+        )
+        norms = jnp.where(jnp.asarray(idb) >= 0, norms, jnp.inf)
+        st = self.state
+        counts = jnp.asarray(self._per_shard_n, jnp.int32)
+        rows = jnp.repeat(jnp.arange(s), chunk)
+        cols = (counts[:, None] + jnp.arange(chunk)[None, :])
+        cols = jnp.where(jnp.asarray(idb) >= 0, cols, cap).reshape(-1)  # drop pads
+        self.state = dict(
+            vectors=st["vectors"].at[rows, cols].set(
+                stored.reshape(-1, self.cfg.dim), mode="drop"),
+            norms=st["norms"].at[rows, cols].set(norms.reshape(-1), mode="drop"),
+            ids=st["ids"].at[rows, cols].set(
+                jnp.asarray(idb).reshape(-1), mode="drop"),
+        )
+        self._per_shard_n = self._per_shard_n + np.bincount(shard_of, minlength=s)
+        self._n += new.shape[0]
+
+    def _grow(self, new_cap: int) -> None:
+        s = self.n_shards
+        st = self.state
+        cap = st["vectors"].shape[1]
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+
+        def grow(st):
+            return dict(
+                vectors=jnp.zeros((s, new_cap, self.cfg.dim),
+                                  st["vectors"].dtype).at[:, :cap].set(st["vectors"]),
+                norms=jnp.full((s, new_cap), jnp.inf,
+                               jnp.float32).at[:, :cap].set(st["norms"]),
+                ids=jnp.full((s, new_cap), -1,
+                             jnp.int32).at[:, :cap].set(st["ids"]),
+            )
+
+        specs = {k2: sh for k2 in st}
+        self.state = jax.jit(grow, out_shardings=specs)(st)
+        self._fns = {}
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        import dataclasses
+        import json
+
+        self._flush()
+        meta = dict(cfg=dataclasses.asdict(self.cfg), n=self._n,
+                    n_shards=self.n_shards)
+        arrays = {}
+        if self.state is not None:
+            for k2, v in self.state.items():
+                v = np.asarray(v)
+                if str(v.dtype) == "bfloat16":
+                    v = v.astype(np.float32)
+                arrays[k2] = v
+        np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedFlat":
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            cfg = FlatConfig(**meta["cfg"])
+            idx = cls(cfg, mesh=mesh)
+            if idx.n_shards != meta["n_shards"]:
+                raise ValueError(
+                    f"saved with {meta['n_shards']} shards, mesh has {idx.n_shards}"
+                )
+            idx._n = meta["n"]
+            if "vectors" in z:
+                sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
+                ids = np.asarray(z["ids"])
+                idx.state = dict(
+                    vectors=jax.device_put(
+                        jnp.asarray(z["vectors"], cfg.storage_dtype), sh),
+                    norms=jax.device_put(jnp.asarray(z["norms"]), sh),
+                    ids=jax.device_put(jnp.asarray(ids), sh),
+                )
+                idx._per_shard_n = (ids >= 0).sum(1)
+        return idx
 
     def _make(self, k: int, approx: bool):
         cfg = self.cfg
@@ -109,6 +237,7 @@ class ShardedFlat:
         return run
 
     def search(self, q, k: int, approx: bool = True):
+        self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
             return (

@@ -125,6 +125,13 @@ class SearchConfig:
     # batch). Off trades a little beam capacity for much cheaper hops; final
     # results are always deduped either way.
     dedupe_candidates: bool = True
+    # Anchor rows unioned into the layer-0 beam seeds (one [B, A] MXU matmul
+    # against the index's dense anchor table; 0 = descent-only seeding).
+    # Greedy descent alone strands on micro-clustered data (measured ~0.63
+    # recall ceiling); the best of ~n/12 random anchors is ~the 12th-nearest
+    # neighbor, so anchor seeds start the beam inside the answer's
+    # neighborhood. No effect when the index carries no anchor table.
+    seed_anchors: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

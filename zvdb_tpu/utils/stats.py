@@ -47,23 +47,25 @@ def index_stats(index: Any) -> Dict[str, Any]:
     if raw:
         stats["overhead_vs_raw"] = (total - raw) / max(raw, 1)
 
-    # graph-specific structure stats
-    if hasattr(st, "nbr0"):
+    # graph-specific structure stats (HNSW nbr0 / CAGRA nbrs)
+    if hasattr(st, "nbr0") or hasattr(st, "nbrs"):
         n = int(st.n)
-        nbr0 = np.asarray(st.nbr0)[:n]
+        table = st.nbr0 if hasattr(st, "nbr0") else st.nbrs
+        nbr0 = np.asarray(table)[:n]
         deg = (nbr0 >= 0).sum(axis=1)
-        lv = np.asarray(st.levels)[:n]
-        lv = lv[lv >= 0]
         stats["degree"] = {
             "mean": float(deg.mean()) if n else 0.0,
             "min": int(deg.min()) if n else 0,
             "max": int(deg.max()) if n else 0,
             "isolated": int((deg == 0).sum()),
         }
-        stats["levels_hist"] = (
-            np.bincount(lv).tolist() if lv.size else []
-        )
-        stats["max_level"] = int(st.max_level)
+        if hasattr(st, "levels"):
+            lv = np.asarray(st.levels)[:n]
+            lv = lv[lv >= 0]
+            stats["levels_hist"] = (
+                np.bincount(lv).tolist() if lv.size else []
+            )
+            stats["max_level"] = int(st.max_level)
     if hasattr(st, "counts"):  # IVF
         counts = np.asarray(st.counts)
         cap = st.blocks.shape[-2]
