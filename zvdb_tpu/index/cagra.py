@@ -62,19 +62,49 @@ class CagraConfig:
     precision: str = "high"
     seed_reps: int = 4            # representative rows kept per cluster
     n_long: int = 4               # random long-range edges per row
+    # Build-cost knobs (knn_graph.build_knn_graph): candidates kept per view
+    # (0 -> degree), merged-pool cap entering the O(C^2 D) diversity prune
+    # (0 -> no cap), and exact vs hardware-approx per-block top-k.
+    kc_per_view: int = 0
+    prune_cap: int = 0
+    block_topk: str = "exact"     # "exact" | "approx"
     # Anchor count for seed routing: 0 -> auto (~n/12, pow2-clamped to
     # [1024, 32768]). The [B, A] seed matmul is MXU-cheap; bigger A = closer
     # seeds = fewer beam hops (hops cost row gathers, the scarce resource).
     n_anchors: int = 0
     # --- search defaults ---
-    ef_search: int = 48
+    ef_search: int = 32
     n_seeds: int = 16             # anchors seeding each query's beam
     expand: int = 4               # beam entries expanded per hop
-    max_iters: Optional[int] = None
+    # Hop budget. Anchor seeding starts the beam ~inside the answer's
+    # neighborhood, so few hops are needed: measured on 100k x 128d clustered,
+    # recall@10 is 0.994 after 2 hops, 0.998 after 4-6, flat afterwards —
+    # while each extra hop costs ~1.7 us/query. None = the generic beam
+    # heuristic (ef/expand + 12), which burns ~3x the time for +0.0000 recall.
+    max_iters: Optional[int] = 6
+    # Select the n_seeds best anchors with the hardware partial top-k
+    # (approx_min_k) instead of an exact sort: the [B, A] exact top_k is the
+    # dominant FIXED cost per search (measured ~2.8 us/query at A=8192), and
+    # seed selection needs no exactness — a 97%-quality seed set costs zero
+    # end recall (the beam repairs it).
+    seed_approx: bool = True
     # --- incremental insert ---
     build_batch: int = 2048
     ef_construction: int = 64
     seed: int = 0
+    # Fat-row hop expansion: materialize each node's whole neighborhood
+    # (deg x (vector | norm | id)) as ONE row of a [cap+1, deg*(D+2)] f32
+    # table, so a hop gathers `expand` rows instead of `expand*degree`.
+    # Measured (round 1): XLA row gathers cost ~6-36 ns/row REGARDLESS of row
+    # width — graph traversal is gather-row-count-bound — so this trades
+    # (degree+1)x HBM capacity for a ~degree-fold cut in the scarce resource.
+    # MEASURED (v5e, round 2): the premise fails on this platform — per-row
+    # gather cost is flat only up to ~1KB rows; a 16.6KB neighborhood row
+    # costs ~110 ns (bandwidth-capped ~150 GB/s), and end-to-end fat search
+    # is ~25% SLOWER than thin at every config tried. Kept as an option for
+    # platforms with stronger gather engines; default off.
+    fat_rows: str = "off"         # "auto" | "on" | "off"
+    fat_budget_bytes: int = 6 << 30
 
     def __post_init__(self):
         if self.metric not in ("l2", "dot", "cosine"):
@@ -131,6 +161,47 @@ def _pick_anchor_rows(key: jax.Array, n: int, n_anchors: int) -> jax.Array:
     return jax.random.choice(key, n, (a,), replace=False).astype(jnp.int32)
 
 
+@jax.jit
+def _build_fat_pack(vectors, norms, nbrs, q_scale):
+    """[cap+1, deg*(D+2)] f32: per node, its neighbors' (vector‖norm‖id) rows
+    concatenated. ids ride as f32 (exact for cap < 2^24); missing neighbors
+    carry id -1 / norm +inf so their scores are +inf downstream."""
+    safe = jnp.maximum(nbrs, 0)
+    vx = jnp.take(vectors, safe.reshape(-1), axis=0).astype(jnp.float32)
+    vx = (vx * q_scale).reshape(nbrs.shape[0], nbrs.shape[1], -1)
+    nx = jnp.where(nbrs >= 0, jnp.take(norms, safe, axis=0), INF)
+    ids = nbrs.astype(jnp.float32)
+    pack = jnp.concatenate([vx, nx[..., None], ids[..., None]], axis=-1)
+    return pack.reshape(nbrs.shape[0], -1)
+
+
+def _make_fat_expander(arrs: _SearchArrays, qp: jax.Array, metric: str,
+                       deg: int):
+    """sel_r [B, E] -> (cand_ids [B, E*deg], scores [B, E*deg]) from ONE
+    gather per selected row (arrs.table is the fat pack)."""
+    width = arrs.table.shape[-1]
+    dp2 = width // deg
+    d = dp2 - 2
+    factor = 2.0 if metric == "l2" else 1.0
+
+    def expand_fn(sel_r):
+        b, e = sel_r.shape
+        fat = jnp.take(arrs.table, jnp.maximum(sel_r, 0), axis=0)
+        fat = fat.reshape(b, e * deg, dp2)
+        vx = fat[..., :d]
+        nx = fat[..., d]
+        ids = fat[..., d + 1].astype(jnp.int32)
+        sel_ok = jnp.repeat(sel_r >= 0, deg, axis=1)
+        ids = jnp.where(sel_ok, ids, -1)
+        dots = jnp.einsum("bd,bcd->bc", qp, vx,
+                          preferred_element_type=jnp.float32)
+        s = jnp.where(ids >= 0, nx - factor * dots, INF)
+        ids = jnp.where(jnp.isfinite(s), ids, -1)
+        return ids, s
+
+    return expand_fn
+
+
 def _make_scorer(arrs: _SearchArrays, qp: jax.Array, metric: str, packed: bool):
     """rows [B, C] -> surrogate scores [B, C]."""
     if packed:
@@ -172,6 +243,9 @@ def cagra_search_impl(
     max_iters: Optional[int],
     precision: str,
     packed: bool,
+    fat: bool = False,
+    dedupe: bool = True,
+    seed_approx: bool = True,
 ):
     """Returns (user_scores [B, k], ids [B, k]); ids are row ids (== insertion
     order external ids — the graph never reorders rows)."""
@@ -181,16 +255,29 @@ def cagra_search_impl(
         # ---- seeds: one [B, A] matmul over the dense anchor table ----------
         cs = D.pairwise_scores(qp, arrs.anchors, arrs.a_norms, metric)
         s_count = min(n_seeds, arrs.anchors.shape[0])
-        neg, top = jax.lax.top_k(-cs, s_count)                  # [B, S]
+        if seed_approx and arrs.anchors.shape[0] > 4 * s_count:
+            seed_s, top = jax.lax.approx_min_k(cs, s_count)     # [B, S]
+        else:
+            neg, top = jax.lax.top_k(-cs, s_count)
+            seed_s = -neg
         seeds = jnp.take(arrs.a_rows, top)                      # [B, S]
-        scorer = _make_scorer(arrs, qp, metric, packed)
         # anchor scores ARE the seed scores (anchors store exact vectors);
         # avoids S extra row gathers per query
-        seed_s = -neg
-        beam_s, beam_r = beam_layer_fn(
-            scorer, seeds, seed_s, arrs.nbrs, efk,
-            expand=expand, max_iters=max_iters,
-        )
+        if fat:
+            deg = arrs.nbrs.shape[-1]
+            expander = _make_fat_expander(arrs, qp, metric, deg)
+            beam_s, beam_r = beam_layer_fn(
+                None, seeds, seed_s, arrs.nbrs, efk,
+                expand=expand, max_iters=max_iters, expand_fn=expander,
+                dedupe_candidates=dedupe,
+            )
+        else:
+            scorer = _make_scorer(arrs, qp, metric, packed)
+            beam_s, beam_r = beam_layer_fn(
+                scorer, seeds, seed_s, arrs.nbrs, efk,
+                expand=expand, max_iters=max_iters,
+                dedupe_candidates=dedupe,
+            )
         beam_s, beam_r = T.mask_duplicate_ids(beam_s, beam_r)
         top_s, top_r = T.smallest_k(beam_s, beam_r, k)
         valid = top_r >= 0
@@ -209,7 +296,7 @@ def cagra_search_impl(
 cagra_search = jax.jit(
     cagra_search_impl,
     static_argnames=("k", "metric", "ef", "n_seeds", "expand", "max_iters",
-                     "precision", "packed"),
+                     "precision", "packed", "fat", "dedupe", "seed_approx"),
 )
 
 
@@ -305,6 +392,7 @@ class CagraIndex:
         self._pending: list[np.ndarray] = []
         self._n_inserted = 0
         self._packed_table: Optional[jax.Array] = None  # derived, not saved
+        self._fat_pack: Optional[jax.Array] = None      # derived, not saved
 
     def __len__(self) -> int:
         with self._lock:
@@ -332,6 +420,8 @@ class CagraIndex:
                 spill=cfg.spill, passes=cfg.passes,
                 kmeans_iters=cfg.kmeans_iters, alpha=cfg.alpha,
                 precision=cfg.precision, reps=cfg.seed_reps, n_long=cfg.n_long,
+                kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
+                block_topk=cfg.block_topk,
             )
             q_scale = 1.0
             if cfg.dtype == "int8":
@@ -357,6 +447,7 @@ class CagraIndex:
                 q_scale=jnp.asarray(q_scale, jnp.float32),
             )
             self._packed_table = None
+            self._fat_pack = None
 
     # -- incremental insert ---------------------------------------------------
     def insert(self, x) -> None:
@@ -409,6 +500,7 @@ class CagraIndex:
             st = _extend_batch(st, jnp.asarray(xb), jnp.asarray(vb), cfg)
         self.state = st
         self._packed_table = None
+        self._fat_pack = None
 
     def _grow(self, new_cap: int) -> None:
         st = self.state
@@ -429,9 +521,26 @@ class CagraIndex:
         self.capacity = new_cap
 
     # -- search ---------------------------------------------------------------
+    def _fat_enabled(self) -> bool:
+        cfg = self.cfg
+        if cfg.fat_rows == "off" or self.state is None:
+            return False
+        cap = self.state.nbrs.shape[0]
+        if cap - 1 >= (1 << 24):     # f32-exact id range
+            return False
+        if cfg.fat_rows == "on":
+            return True
+        bytes_needed = cap * cfg.degree * (cfg.dim + 2) * 4
+        return cfg.dtype == "float32" and bytes_needed <= cfg.fat_budget_bytes
+
     def _search_arrays(self) -> _SearchArrays:
         st = self.state
-        if self.cfg.packed:
+        if self._fat_enabled():
+            if self._fat_pack is None:
+                self._fat_pack = _build_fat_pack(
+                    st.vectors, st.norms, st.nbrs, st.q_scale)
+            table = self._fat_pack
+        elif self.cfg.packed:
             if self._packed_table is None:
                 self._packed_table = jnp.concatenate(
                     [st.vectors, st.norms[:, None]], axis=1
@@ -466,7 +575,7 @@ class CagraIndex:
                     self._search_arrays(), q, k, cfg.metric,
                     ef_search if ef_search is not None else cfg.ef_search,
                     cfg.n_seeds, cfg.expand, cfg.max_iters, cfg.precision,
-                    cfg.packed,
+                    cfg.packed, self._fat_enabled(), True, cfg.seed_approx,
                 )
             if squeeze:
                 return s[0], i[0]

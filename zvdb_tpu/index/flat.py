@@ -207,6 +207,25 @@ class FlatIndex:
             vecs = vecs * np.asarray(jnp.take(self.state.scales, rows))[:, None]
         return vecs
 
+    def _search_pallas(self, q: jax.Array, k: int):
+        """Fused Pallas scan (ops/pallas_topk.py): same contract as _search's
+        approx path — exact MXU scoring, bin-parallel partial selection.
+        Runs interpreted off-TPU (Mosaic only targets the TPU backend)."""
+        from ..ops.pallas_topk import flat_scan_topk
+
+        cfg = self.cfg
+        qs = D.preprocess_queries(q, cfg.metric)
+        s, i = flat_scan_topk(
+            qs, self.state.vectors, self.state.norms, k,
+            l_bins=cfg.l_bins, bq_tile=cfg.pallas_bq, chunk=cfg.pallas_chunk,
+            metric=cfg.metric,
+            precision=cfg.precision if cfg.precision != "highest" else "highest",
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = D.finalize_scores(s, qs, cfg.metric)
+        out = jnp.where(i >= 0, out, jnp.inf if cfg.metric == "l2" else -jnp.inf)
+        return out, i
+
     def search(self, q, k: int, approx: bool = False):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
 
@@ -229,6 +248,8 @@ class FlatIndex:
         if self.state is None:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
+            s, i = self._search_pallas(q, k)
         else:
             s, i = _search(
                 self.state, q, k, self.cfg.metric, self.cfg.tile_n,

@@ -188,12 +188,19 @@ def beam_layer_fn(
     limit_n: Optional[jax.Array] = None,
     use_degree: Optional[int] = None,
     dedupe_candidates: bool = True,
+    expand_fn=None,
 ):
     """Batched best-first beam search on one layer's graph.
 
     Returns (beam_scores [B, ef], beam_rows [B, ef]) sorted ascending by score.
     `limit_n`: rows >= limit_n are treated as nonexistent (used during bulk build
     to search only the frozen prefix).
+
+    `expand_fn`: optional override of the adjacency-gather + score step —
+    sel_r [B, E] -> (cand_ids [B, C], cand_scores [B, C]) with invalid slots
+    (-1, +inf). Used by the fat-row engines where one gather yields neighbor
+    ids, vectors, and norms together (gathers are row-count-bound on TPU, so
+    fusing the three tables into one row is the hop-cost lever).
 
     This replaces the reference's heap + visited-hashmap loop
     (src/hnsw.zig:202-224). The visited set is implicit: candidates are deduped
@@ -250,17 +257,21 @@ def beam_layer_fn(
         expanded = jnp.logical_or(expanded, onehot)
 
         # expand: gather neighbor lists of the selected rows
-        cand = jnp.take(nbrs, jnp.maximum(sel_r, 0), axis=0)      # [B, E, deg]
-        if use_degree is not None and use_degree < deg:
-            # rows are distance/priority-sorted at build time; truncating the
-            # tail halves the vector-gather row count (the hop's dominant
-            # cost — gathers are row-count-bound on TPU) for a small recall hit
-            cand = cand[:, :, :use_degree]
-        cand = jnp.where((sel_r >= 0)[:, :, None], cand, -1)
-        cand = cand.reshape(b, -1)
-        if limit_n is not None:
-            cand = jnp.where(cand < limit_n, cand, -1)
-        c_s = score_rows(cand)
+        if expand_fn is not None:
+            cand, c_s = expand_fn(sel_r)
+        else:
+            cand = jnp.take(nbrs, jnp.maximum(sel_r, 0), axis=0)  # [B, E, deg]
+            if use_degree is not None and use_degree < deg:
+                # rows are distance/priority-sorted at build time; truncating
+                # the tail halves the vector-gather row count (the hop's
+                # dominant cost — gathers are row-count-bound on TPU) for a
+                # small recall hit
+                cand = cand[:, :, :use_degree]
+            cand = jnp.where((sel_r >= 0)[:, :, None], cand, -1)
+            cand = cand.reshape(b, -1)
+            if limit_n is not None:
+                cand = jnp.where(cand < limit_n, cand, -1)
+            c_s = score_rows(cand)
         if dedupe_candidates:
             # exact in-hop dedupe: O(C^2) bool matrix — at large B this
             # materializes GBs per hop; disable to trade a little beam
