@@ -130,6 +130,10 @@ def main():
 
     # ---- ivf --------------------------------------------------------------
     try:
+        warm = IVFIndex(IVFConfig(dim=d, n_clusters=1024, nprobe=8, metric=metric))
+        warm.build(x)                      # pays the one-off compiles
+        jax.block_until_ready(warm.state)
+        del warm
         ivf = IVFIndex(IVFConfig(dim=d, n_clusters=1024, nprobe=8, metric=metric))
         t0 = time.perf_counter()
         ivf.build(x)
@@ -172,7 +176,7 @@ def main():
         jax.block_until_ready(cagra.state)
         cagra_build_s = time.perf_counter() - t0
         cagra_ef, cagra_recall = None, 0.0
-        for ef in (32, 48, 64, 96, 128):
+        for ef in (16, 24, 32, 48, 64, 96):
             ids = np.asarray(cagra.search(q[:2048], k, ef_search=ef)[1])
             r = recall_at_k(ids, gt[:2048], k)
             log(f"cagra ef={ef} recall={r:.4f}")
@@ -209,7 +213,7 @@ def main():
         hnsw_build_s = time.perf_counter() - t0
         hnsw_ef = None
         hnsw_recall = 0.0
-        for ef in (32, 48, 64, 96, 128):
+        for ef in (16, 24, 32, 48, 64, 96):
             ids = np.asarray(hnsw.search(q[:2048], k, ef_search=ef)[1])
             r = recall_at_k(ids, gt[:2048], k)
             log(f"hnsw ef={ef} recall={r:.4f}")

@@ -13,6 +13,8 @@ from zvdb_tpu.ops import distance as D
 from zvdb_tpu.ops.pallas_topk import flat_scan_bins, flat_scan_topk
 
 I = dict(interpret=True)
+# exactness tests pin the f32 path; the default "high" is bf16x3 (~6e-5 rel)
+X = dict(interpret=True, precision="highest")
 
 
 def _mk(n, d, b, seed=0):
@@ -28,7 +30,7 @@ def test_exact_when_bins_cover_corpus():
     x, q = _mk(50, 17, 7)
     norms = D.sq_norms(jnp.asarray(x))
     s, ids = flat_scan_topk(jnp.asarray(q), jnp.asarray(x), norms, k=5,
-                            l_bins=64, chunk=64, bq_tile=8, **I)
+                            l_bins=64, chunk=64, bq_tile=8, **X)
     ref = D.pairwise_scores(jnp.asarray(q), jnp.asarray(x), norms, "l2")
     rs, ri = jax.lax.top_k(-ref, 5)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ri))
@@ -41,7 +43,7 @@ def test_bins_are_true_bin_minima():
     l_bins = 32
     norms = D.sq_norms(jnp.asarray(x))
     bs, bi = flat_scan_bins(jnp.asarray(q), jnp.asarray(x), norms,
-                            l_bins=l_bins, chunk=64, bq_tile=8, **I)
+                            l_bins=l_bins, chunk=64, bq_tile=8, **X)
     ref = np.asarray(D.pairwise_scores(jnp.asarray(q), jnp.asarray(x), norms, "l2"))
     cols = np.arange(300)
     for lane in range(l_bins):
@@ -75,7 +77,7 @@ def test_dot_metric_and_invalid_rows():
     x, q = _mk(100, 16, 4, seed=3)
     norms = jnp.zeros((100,)).at[60:].set(jnp.inf)   # rows 60+ invalid
     s, ids = flat_scan_topk(jnp.asarray(q), jnp.asarray(x), norms, k=4,
-                            l_bins=128, chunk=128, bq_tile=8, metric="dot", **I)
+                            l_bins=128, chunk=128, bq_tile=8, metric="dot", **X)
     assert np.asarray(ids).max() < 60
     ref = np.asarray(D.pairwise_scores(
         jnp.asarray(q), jnp.asarray(x[:60]), jnp.zeros((60,)), "dot"))
@@ -110,3 +112,61 @@ def test_flat_engine_pallas_path_matches():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ei))
     np.testing.assert_allclose(np.asarray(ps), np.asarray(es), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bitonic_smallest_k_matches_topk():
+    from zvdb_tpu.ops.topk import bitonic_smallest_k, smallest_k
+
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((257, 48)).astype(np.float32)
+    ids = rng.permutation(257 * 48).reshape(257, 48).astype(np.int32)
+    # sprinkle invalid slots
+    s[rng.random((257, 48)) < 0.1] = np.inf
+    ids = np.where(np.isinf(s), -1, ids)
+    bs, bi = bitonic_smallest_k(jnp.asarray(s), jnp.asarray(ids), 13)
+    rs, ri = smallest_k(jnp.asarray(s), jnp.asarray(ids), 13)
+    # same multisets of (score, id): order ties may differ (id vs position)
+    np.testing.assert_allclose(np.sort(np.asarray(bs)), np.sort(np.asarray(rs)))
+    assert np.all(np.asarray(bs)[:, :-1] <= np.asarray(bs)[:, 1:])  # sorted
+    valid = np.asarray(bi) >= 0
+    np.testing.assert_array_equal(np.asarray(bi)[~valid], -1 * np.ones(0))
+    # every returned (s, id) pair exists in the input row
+    for r in range(0, 257, 64):
+        for c in range(13):
+            if np.asarray(bi)[r, c] >= 0:
+                assert np.asarray(bi)[r, c] in ids[r]
+
+
+def test_bitonic_k_exceeds_width():
+    from zvdb_tpu.ops.topk import bitonic_smallest_k
+
+    s = jnp.asarray([[3.0, 1.0, 2.0]])
+    ids = jnp.asarray([[30, 10, 20]], dtype=jnp.int32)
+    bs, bi = bitonic_smallest_k(s, ids, 5)
+    np.testing.assert_array_equal(np.asarray(bi), [[10, 20, 30, -1, -1]])
+    assert np.isinf(np.asarray(bs)[0, 3:]).all()
+
+
+def test_sort_smallest_k_dedupes_exactly():
+    from zvdb_tpu.ops.topk import sort_smallest_k
+
+    s = jnp.asarray([[5.0, 1.0, 1.0 + 1e-7, 3.0, np.inf, 2.0]])
+    ids = jnp.asarray([[7, 4, 4, 9, -1, 11]], dtype=jnp.int32)
+    bs, bi = sort_smallest_k(s, ids, 4, dedupe=True)
+    # id 4 appears twice with ulp-different scores: kept once (smaller score)
+    np.testing.assert_array_equal(np.asarray(bi), [[4, 11, 9, 7]])
+    np.testing.assert_allclose(np.asarray(bs)[0], [1.0, 2.0, 3.0, 5.0])
+
+
+def test_sort_smallest_k_matches_topk():
+    from zvdb_tpu.ops.topk import smallest_k, sort_smallest_k
+
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal((500, 48)).astype(np.float32)
+    ids = rng.permutation(500 * 48).reshape(500, 48).astype(np.int32)
+    s[rng.random((500, 48)) < 0.1] = np.inf
+    ids = np.where(np.isinf(s), -1, ids)
+    bs, bi = sort_smallest_k(jnp.asarray(s), jnp.asarray(ids), 16)
+    rs, ri = smallest_k(jnp.asarray(s), jnp.asarray(ids), 16)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(bs), np.asarray(rs))

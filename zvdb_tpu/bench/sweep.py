@@ -36,7 +36,12 @@ def main(argv=None):
     ap.add_argument("--metric", type=str, default="l2")
     ap.add_argument("--recall", action="store_true", help="also measure recall")
     ap.add_argument("--engine", type=str, default="hnsw",
-                    choices=["hnsw", "flat", "ivf"])
+                    choices=["hnsw", "flat", "ivf", "cagra"])
+    ap.add_argument("--query-mode", type=str, default="dataset",
+                    choices=["dataset", "perturb", "mixture", "gaussian"],
+                    help="dataset = queries as loaded; perturb = corpus + "
+                         "0.05 sigma (easy); mixture = fresh same-mixture "
+                         "draws (hard); gaussian = isotropic noise (hardest)")
     ap.add_argument("--dataset", type=str, default=None,
                     help="sift1m | glove | deep10m | synthetic-uniform | "
                          "synthetic-clustered (overrides --dims; real files "
@@ -49,13 +54,14 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
 
     from zvdb_tpu import (
-        FlatConfig, FlatIndex, HNSW, HNSWConfig, IVFConfig, IVFIndex,
+        CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,
+        IVFConfig, IVFIndex,
     )
     from zvdb_tpu.bench.harness import (
         ground_truth_host, random_points, run_insertion_benchmark,
         run_search_benchmark,
     )
-    from zvdb_tpu.io.datasets import load_dataset
+    from zvdb_tpu.io.datasets import load_dataset, make_queries
     from zvdb_tpu.parallel.mesh import make_mesh
     from zvdb_tpu.parallel.sharded import ShardedHNSW
 
@@ -76,6 +82,11 @@ def main(argv=None):
                 random_points(rng, args.queries, d),
                 args.metric,
             ))
+    if args.query_mode != "dataset":
+        datasets = [
+            (x, make_queries(x, args.queries, mode=args.query_mode), metric)
+            for x, q, metric in datasets
+        ]
 
     for x, q, metric in datasets:
         d = x.shape[1]
@@ -88,6 +99,8 @@ def main(argv=None):
             )
         elif args.engine == "ivf":
             factory = lambda: IVFIndex(IVFConfig(dim=d, metric=metric))
+        elif args.engine == "cagra":
+            factory = lambda: CagraIndex(CagraConfig(dim=d, metric=metric))
         elif args.devices > 1:
             mesh = make_mesh(n_shards=args.devices)
             factory = lambda: ShardedHNSW(
@@ -111,6 +124,8 @@ def main(argv=None):
             search_fn = lambda qq, kk: idx.search(qq, kk, approx=True)
         elif args.engine == "ivf":
             search_fn = lambda qq, kk: idx.search(qq, kk)
+        elif args.engine == "cagra":
+            search_fn = lambda qq, kk: idx.search(qq, kk, ef_search=args.ef)
         else:
             search_fn = None
 

@@ -150,7 +150,7 @@ def _reverse_pass(
     b, m = fwd.shape
     p = b * m
     cap_trash = nbr_table.shape[0] - 1
-    rev_window = degree
+    rev_window = max(1, min(degree, 16, p))
 
     tgt = fwd.reshape(p)
     src = jnp.repeat(src_rows, m)
@@ -166,23 +166,39 @@ def _reverse_pass(
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), st[:-1]])
     first = sv & (st != prev)
 
-    # window of up to rev_window sources per target
-    pos = jnp.arange(p)
-    win = jnp.clip(pos[:, None] + jnp.arange(rev_window)[None, :], 0, p - 1)
-    same = (st[win] == st[:, None]) & sv[:, None]
-    rev = jnp.where(same, ss[win], -1)                   # [P, W] new sources
-    rev_d = jnp.where(same, sd[win], INF)
+    # Window of up to rev_window sources per target. st[i+j] windows are
+    # materialized as W SHIFTED CONTIGUOUS COPIES, not a [P, W] gather —
+    # gathers are row-count-bound (~7 ns/row) and a [P, W] scalar gather is
+    # P*W rows, which measured as the reverse pass's dominant cost at bulk
+    # sizes (P = 2M); shifts are plain bandwidth.
+    def shifted(a, j, fill):
+        return jnp.concatenate([a[j:], jnp.full((j,), fill, a.dtype)]) if j \
+            else a
+
+    st_w = jnp.stack([shifted(st, j, jnp.int32(-9)) for j in range(rev_window)],
+                     axis=1)                              # [P, W]
+    ss_w = jnp.stack([shifted(ss, j, jnp.int32(-1)) for j in range(rev_window)],
+                     axis=1)
+    sd_w = jnp.stack([shifted(sd, j, jnp.float32(jnp.inf))
+                      for j in range(rev_window)], axis=1)
+    same = (st_w == st[:, None]) & sv[:, None]
+    rev = jnp.where(same, ss_w, -1)                       # [P, W] new sources
+    rev_d = jnp.where(same, sd_w, INF)
 
     st_safe = jnp.maximum(st, 0)
-    existing = jnp.take(nbr_table, st_safe, axis=0)      # [P, degree]
+    existing = jnp.take(nbr_table, st_safe, axis=0)       # [P, degree]
     existing_d = jnp.take(dist_table, st_safe, axis=0)
 
-    cand = jnp.concatenate([existing, rev], axis=-1)     # [P, degree + W]
+    cand = jnp.concatenate([existing, rev], axis=-1)      # [P, degree + W]
     cand_d = jnp.concatenate([existing_d, rev_d], axis=-1)
     cand_d = jnp.where(cand >= 0, cand_d, INF)
-    cand_d, cand = T.mask_duplicate_ids(cand_d, cand)
 
-    new_d, new_rows = T.smallest_k(cand_d, cand, degree)
+    # Merge + exact id-dedupe in two lax.sort passes (ops/topk.py
+    # sort_smallest_k): lax.top_k on this [B*m, degree+W] merge measured
+    # ~1.0 s per call on TPU — it was 60%+ of the whole graph build —
+    # while lax.sort does the same shape in ~24 ms.
+    new_d, new_rows = T.sort_smallest_k(cand_d, cand, degree, dedupe=True)
+
     write_at = jnp.where(first, st, cap_trash)
     return (
         nbr_table.at[write_at].set(new_rows),
@@ -605,12 +621,13 @@ def bulk_build_oneshot(
     xn = D.sq_norms(xj) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
 
     # ---- base layer -------------------------------------------------------
-    # host copy of the dequantized stored vectors (f32 stores exactly xs —
-    # avoid a device->host pull through the slow relay)
-    x_graph = xs if cfg.dtype == "float32" else np.asarray(xj)
+    # pass the DEVICE array (dequantized stored vectors): build_knn_graph
+    # would otherwise re-upload the corpus through the relay (~1 s / 50 MB)
     nbrs, dists, *_ = build_knn_graph(
-        x_graph, cfg.base_degree, k_base, metric=cfg.metric,
+        xj, cfg.base_degree, k_base, metric=cfg.metric,
         alpha=cfg.alpha, precision=prec,
+        kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
+        block_topk=cfg.block_topk, kmeans_iters=cfg.build_kmeans_iters,
     )
     state = state._replace(
         nbr0=state.nbr0.at[:n].set(nbrs[:n]),

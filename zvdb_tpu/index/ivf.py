@@ -151,9 +151,44 @@ def kmeans(x: np.ndarray, n_clusters: int, iters: int, key: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("c", "cap", "dtype_name", "metric", "rerank",
-                     "rerank_dtype", "rcap"),
+    static_argnames=("dtype_name", "metric"),
+    donate_argnums=(5, 6, 7, 8),
 )
+def _pack_segment(
+    xd, cent, order_seg, sa_seg, slot_seg,
+    blocks, b_norms, b_scales, b_ids,
+    dtype_name: str, metric: str,
+):
+    """Scatter one corpus segment into the block arrays (donated carries).
+
+    Segmenting bounds the transient footprint: the one-shot pack at 10M x 96
+    held corpus + gathered reorder + residuals + f32 shadows in a single jit
+    (~17 GB transient) and ResourceExhausted the 16 GB chip; per-segment
+    temporaries are ~segment-sized instead of corpus-sized.
+    """
+    npts = order_seg.shape[0]
+    valid = order_seg >= 0
+    safe = jnp.maximum(order_seg, 0)
+    xo = jnp.take(xd, safe, axis=0)                          # [S, D]
+    norms = D.sq_norms(xo) if metric == "l2" else jnp.zeros((npts,), jnp.float32)
+    if dtype_name == "int8":
+        resid = xo - jnp.take(cent, jnp.maximum(sa_seg, 0), axis=0)
+        amax = jnp.max(jnp.abs(resid), axis=-1)
+        scl = jnp.maximum(amax, 1e-12) / 127.0
+        stored = jnp.clip(jnp.round(resid / scl[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+        stored = xo.astype(dtype)
+        scl = jnp.ones((npts,), jnp.float32)
+    c = blocks.shape[0]
+    wa = jnp.where(valid, sa_seg, c)        # invalid rows -> dropped (oob)
+    blocks = blocks.at[wa, slot_seg].set(stored, mode="drop")
+    b_norms = b_norms.at[wa, slot_seg].set(norms, mode="drop")
+    b_scales = b_scales.at[wa, slot_seg].set(scl, mode="drop")
+    b_ids = b_ids.at[wa, slot_seg].set(order_seg, mode="drop")
+    return blocks, b_norms, b_scales, b_ids
+
+
 def _pack_device(
     xd: jax.Array,       # [N, D] f32 corpus, device-resident (preprocessed)
     cent: jax.Array,     # [C, D] f32
@@ -162,32 +197,41 @@ def _pack_device(
     slot: jax.Array,     # [N] int32: block slot of order[i]
     c: int, cap: int, dtype_name: str, metric: str, rerank: int,
     rerank_dtype: str, rcap: int,
+    segment: int = 2_000_000,
 ) -> IVFState:
-    """Build IVFState entirely on device from (order, cluster, slot) triples.
+    """Build IVFState on device from (order, cluster, slot) triples.
 
-    The round-1 build assembled [C, cap, D] blocks on the host and shipped
-    them through the ~100-300 MB/s relay (a second full-corpus transfer);
-    here the only upload is the corpus itself and three int32 [N] vectors —
-    the scatter into blocks is a few ms of device time.
+    One corpus upload (round-1 assembled blocks on the host and re-shipped
+    them through the ~100-300 MB/s relay); the scatter runs in corpus
+    segments so transient buffers stay bounded at 10M+ scale.
     """
     n, dim = xd.shape
-    xo = jnp.take(xd, order, axis=0)                         # [N, D]
-    norms = D.sq_norms(xo) if metric == "l2" else jnp.full((n,), 0.0)
-    if dtype_name == "int8":
-        resid = xo - jnp.take(cent, sa, axis=0)
-        amax = jnp.max(jnp.abs(resid), axis=-1)
-        scl = jnp.maximum(amax, 1e-12) / 127.0
-        stored = jnp.clip(jnp.round(resid / scl[:, None]), -127, 127).astype(jnp.int8)
-    else:
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
-        stored = xo.astype(dtype)
-        scl = jnp.ones((n,), jnp.float32)
+    blocks = jnp.zeros((c, cap, dim),
+                       {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                        "int8": jnp.int8}[dtype_name])
+    b_norms = jnp.full((c, cap), jnp.inf, jnp.float32)
+    b_scales = jnp.ones((c, cap), jnp.float32)
+    b_ids = jnp.full((c, cap), -1, jnp.int32)
 
-    blocks = jnp.zeros((c, cap, dim), stored.dtype).at[sa, slot].set(stored)
-    b_norms = jnp.full((c, cap), jnp.inf, jnp.float32).at[sa, slot].set(norms)
-    b_scales = jnp.ones((c, cap), jnp.float32).at[sa, slot].set(scl)
-    b_ids = jnp.full((c, cap), -1, jnp.int32).at[sa, slot].set(order)
-    counts = jnp.zeros((c,), jnp.int32).at[sa].add(1)
+    seg = min(segment, max(n, 1))
+    order_np, sa_np, slot_np = (np.asarray(order, np.int32),
+                                np.asarray(sa, np.int32),
+                                np.asarray(slot, np.int32))
+    for lo in range(0, n, seg):
+        hi = min(lo + seg, n)
+        o = np.full(seg, -1, np.int32)
+        s_ = np.zeros(seg, np.int32)
+        sl = np.zeros(seg, np.int32)
+        o[: hi - lo] = order_np[lo:hi]
+        s_[: hi - lo] = sa_np[lo:hi]
+        sl[: hi - lo] = slot_np[lo:hi]
+        blocks, b_norms, b_scales, b_ids = _pack_segment(
+            xd, cent, jnp.asarray(o), jnp.asarray(s_), jnp.asarray(sl),
+            blocks, b_norms, b_scales, b_ids,
+            dtype_name=dtype_name, metric=metric,
+        )
+    counts = jnp.zeros((c,), jnp.int32).at[jnp.asarray(sa_np)].add(1)
+
     if rerank:
         rr_dtype = jnp.float32 if rerank_dtype == "float32" else jnp.bfloat16
         rr = jnp.zeros((rcap, dim), rr_dtype).at[:n].set(xd.astype(rr_dtype))

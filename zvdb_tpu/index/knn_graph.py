@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -209,7 +211,7 @@ def _prune_chunk(x, xn, rows, cand_s, cand_i, alpha, degree: int, metric: str,
 
 
 def build_knn_graph(
-    x: np.ndarray,
+    x,  # np.ndarray or device array [N, D] (device arrays are not re-uploaded)
     degree: int,
     key: jax.Array,
     metric: str = "l2",
@@ -228,6 +230,7 @@ def build_knn_graph(
     kc_per_view: int = 0,
     prune_cap: int = 0,
     block_topk: str = "exact",
+    chain: bool = True,
 ) -> Tuple[np.ndarray, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Build a `degree`-regular approximate kNN graph over x [N, D].
 
@@ -251,6 +254,15 @@ def build_knn_graph(
     """
     from .build import _reverse_pass  # local import avoids a cycle
 
+    trace = os.environ.get("ZVDB_BUILD_TRACE", "") not in ("", "0")
+    marks = [("start", time.perf_counter())]
+
+    def mark(name, *sync):
+        if trace:
+            if sync:
+                jax.block_until_ready(sync)
+            marks.append((name, time.perf_counter()))
+
     n, d = x.shape
     xj = jnp.asarray(x, jnp.float32)
     xn = D.sq_norms(xj) if metric == "l2" else jnp.zeros((n,), jnp.float32)
@@ -273,9 +285,11 @@ def build_knn_graph(
             c = max(1, int(round(n * spill / block)))
             centj = _kmeans_device(xj, c, kmeans_iters, sub,
                                    sample=min(n, 65536))
+            mark(f"p{p}:kmeans", centj)
             cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
             assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
             assign_np = np.asarray(assign)
+            mark(f"p{p}:assign+pull")
             if assign_np.shape[1] < spill:   # c < spill: replicate
                 assign_np = np.pad(assign_np,
                                    ((0, 0), (0, spill - assign_np.shape[1])),
@@ -283,6 +297,7 @@ def build_knn_graph(
             bcap = max(8, int(math.ceil(balance_slack * spill * n / c / 8.0)) * 8)
             bcap = min(bcap, n * spill)
             block_pts, block_occ, _dropped = _pack_blocks(assign_np, c, bcap)
+            mark(f"p{p}:host-pack")
 
             # chunk clusters so the [cc, B, B] score tensor stays ~128 MB
             c_blocks = block_pts.shape[0]   # includes presence-overflow blocks
@@ -298,6 +313,7 @@ def build_knn_graph(
                     jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
                     kc, metric, approx=(block_topk == "approx"),
                 )
+            mark(f"p{p}:block-knn", cand_s)
 
             if p == passes - 1:
                 centroids, c_norms = centj, cn
@@ -322,6 +338,23 @@ def build_knn_graph(
                     has = ends > starts
                     c_rows_np[:, r] = np.where(has, order[pos], 0)
                 c_rows = jnp.asarray(c_rows_np)
+                # chain successor: each point -> the next point of its
+                # cluster in distance-to-centroid order (wrapping). Stamped
+                # as a guaranteed edge after the reverse pass: on
+                # duplicate-heavy data, distance-pruned rows collapse into
+                # ~degree-sized cliques and the clique's non-core members
+                # end up with NO incoming edges (measured: 5% of self-queries
+                # unreachable at any ef). The chain gives every point an
+                # in-edge from a cluster-mate, so reaching ANY point of a
+                # cluster makes the whole cluster reachable.
+                idx_n = np.arange(n)
+                pos_next = idx_n + 1
+                is_last = pos_next >= ends[sa0]
+                pos_next = np.where(is_last, starts[sa0], pos_next)
+                chain_np = np.full(n, -1, np.int64)
+                chain_np[order] = order[pos_next]
+                chain_np[chain_np == idx_n] = -1   # singleton clusters
+                mark("reps")
 
         # ---- merge + prune ------------------------------------------------
         # occurrence lanes flattened; row n is the scatter trash row. Chunks
@@ -343,6 +376,7 @@ def build_knn_graph(
                                       metric, prune_cap=prune_cap)
             nbrs = jax.lax.dynamic_update_slice(nbrs, sel, (lo, 0))
             dists = jax.lax.dynamic_update_slice(dists, sel_d, (lo, 0))
+        mark("prune", nbrs)
 
         # ---- reverse edges --------------------------------------------------
         if reverse:
@@ -356,6 +390,15 @@ def build_knn_graph(
                 fwd = jax.lax.dynamic_slice(nbrs, (lo, 0), (rc, degree))
                 fwd_d = jax.lax.dynamic_slice(dists, (lo, 0), (rc, degree))
                 nbrs, dists = rev_fn(nbrs, dists, rows, fwd, fwd_d)
+            mark("reverse", nbrs)
+
+        # ---- chain edges (see above; slot before the long-range block) ------
+        if chain and n > degree + 1 and degree - n_long >= 2:
+            nbrs, dists = _stamp_chain_edges(
+                xj, xn, nbrs, dists, jnp.asarray(chain_np, dtype=jnp.int32),
+                metric, slot=degree - n_long - 1,
+            )
+            mark("chain", nbrs)
 
         # ---- random long-range edges (post-reverse: distance-pruned merges
         # would evict them) ---------------------------------------------------
@@ -363,8 +406,35 @@ def build_knn_graph(
             key, sub = jax.random.split(key)
             nbrs, dists = _stamp_long_edges(xj, xn, nbrs, dists, sub,
                                             n_long, metric)
+        mark("long-edges", nbrs)
 
+    if trace:
+        total = marks[-1][1] - marks[0][1]
+        parts = "  ".join(
+            f"{name}={t1 - t0:.2f}s"
+            for (_, t0), (name, t1) in zip(marks, marks[1:])
+        )
+        print(f"[build_knn_graph n={n}] total={total:.2f}s  {parts}",
+              flush=True)
     return nbrs, dists, centroids, c_norms, c_rows
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "slot"),
+                   donate_argnums=(2, 3))
+def _stamp_chain_edges(xj, xn, nbrs, dists, succ, metric: str, slot: int):
+    """Overwrite one slot of each row with the cluster-chain edge."""
+    valid = succ >= 0
+    safe = jnp.maximum(succ, 0)
+    v = jnp.take(xj, safe, axis=0)
+    dots = jnp.sum(xj * v, axis=-1)
+    if metric == "l2":
+        d = xn + jnp.take(xn, safe) - 2.0 * dots
+    else:
+        d = -dots
+    new_id = jnp.where(valid, succ, nbrs[:-1, slot])
+    new_d = jnp.where(valid, d, dists[:-1, slot])
+    return (nbrs.at[:-1, slot].set(new_id),
+            dists.at[:-1, slot].set(new_d))
 
 
 @functools.partial(jax.jit, static_argnames=("n_long", "metric"),

@@ -42,7 +42,7 @@ _NEG1 = -1
 
 
 def _scan_kernel(q_ref, v_ref, n_ref, out_s_ref, out_i_ref, best_s, best_i, *,
-                 l_bins: int, metric: str, precision):
+                 l_bins: int, metric: str, precision: str):
     bq = q_ref.shape[0]
     chunk = v_ref.shape[0]
     j = pl.program_id(1)
@@ -53,12 +53,30 @@ def _scan_kernel(q_ref, v_ref, n_ref, out_s_ref, out_i_ref, best_s, best_i, *,
         best_s[:] = jnp.full((bq, l_bins), jnp.inf, jnp.float32)
         best_i[:] = jnp.full((bq, l_bins), _NEG1, jnp.int32)
 
-    dots = jax.lax.dot_general(
-        q_ref[:], v_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                   # [bq, chunk]
+    def dot(a, b, prec=None):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    if precision == "high":
+        # Mosaic supports only DEFAULT/HIGHEST dot precisions, so the
+        # engine's bf16x3 "high" is built by hand: x = hi + lo splits, keep
+        # hi*hi + hi*lo + lo*hi (drop lo*lo) — 3 full-rate bf16 MXU passes
+        # vs HIGHEST's 6, at ~1e-6 relative error (matches the XLA path's
+        # BF16_BF16_F32_X3).
+        qf = q_ref[:]
+        vf = v_ref[:]
+        q_hi = qf.astype(jnp.bfloat16)
+        q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_hi = vf.astype(jnp.bfloat16)
+        v_lo = (vf - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots = dot(q_hi, v_hi) + dot(q_hi, v_lo) + dot(q_lo, v_hi)
+    elif precision == "highest":
+        dots = dot(q_ref[:], v_ref[:], jax.lax.Precision.HIGHEST)
+    else:
+        dots = dot(q_ref[:].astype(jnp.bfloat16),
+                   v_ref[:].astype(jnp.bfloat16))        # [bq, chunk]
     # repo surrogate convention (ops/distance.py:pairwise_scores): norms are
     # +inf on un-ingested/padding rows and act as the validity bias, so scores
     # are +inf there with no separate mask. l2: norms - 2 q.x; dot/cosine:
@@ -111,15 +129,7 @@ def flat_scan_bins(
     n = vectors.shape[0]
     assert chunk % l_bins == 0, "chunk must be a multiple of l_bins"
 
-    # Mosaic supports only DEFAULT/HIGHEST dot precisions ("HIGH" raises
-    # NotImplementedError) — "high" maps to HIGHEST inside the kernel. The
-    # matmul is a minority of kernel time here, so the extra f32 passes cost
-    # little; scoring accuracy matches the engine's f32 convention.
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[precision]
+    assert precision in ("highest", "high", "default")
 
     # pad shapes to tile multiples (D to the 128-lane boundary)
     bq = min(bq_tile, max(8, b))
@@ -135,7 +145,7 @@ def flat_scan_bins(
     n_chunks = vp.shape[0] // chunk
 
     kernel = functools.partial(
-        _scan_kernel, l_bins=l_bins, metric=metric, precision=prec)
+        _scan_kernel, l_bins=l_bins, metric=metric, precision=precision)
     grid = (n_q_tiles, n_chunks)   # chunk axis innermost: scratch accumulates
     bin_s, bin_i = pl.pallas_call(
         kernel,

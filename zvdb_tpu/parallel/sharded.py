@@ -378,7 +378,10 @@ class ShardedHNSW:
             s = np.full((q.shape[0], k), np.inf if self.cfg.metric == "l2" else -np.inf)
             return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
         ef = ef_search if ef_search is not None else self.search_cfg.ef_search
-        key = (k, ef)
+        # search_cfg participates in the cache key: _make_search captures it
+        # in the jitted closure, so a reassigned idx.search_cfg must rebuild
+        # (frozen dataclass -> hashable)
+        key = (k, ef, self.search_cfg)
         if self._search_fn is None or self._search_key != key:
             self._search_fn = self._make_search(k, ef)
             self._search_key = key

@@ -80,6 +80,15 @@ class HNSWConfig:
     # Upper layers only route searches, so the quality cost is tiny and the
     # build-time win is large (one beam search per batch instead of L+1).
     upper_beam: bool = False
+    # Oneshot-build cost knobs (knn_graph.build_knn_graph). Measured at
+    # 100k x 128d clustered (TPU): these defaults build ~2.5x faster than
+    # (exact top-k, kc=degree, no cap, 5 Lloyd iters) at EQUAL or better
+    # recall (0.9989 vs 0.9982 @ ef=16 — fewer per-view candidates raise
+    # view diversity).
+    kc_per_view: int = 16         # candidates kept per clustering view
+    prune_cap: int = 64           # merged-pool cap entering diversity pruning
+    block_topk: str = "approx"    # per-block top-k: "approx" | "exact"
+    build_kmeans_iters: int = 3
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
@@ -111,13 +120,12 @@ class SearchConfig:
     # fixed latency; expanding 8 at once cuts hop count ~8x for a small
     # extra-candidate cost).
     expand: int = 8
-    # Max hops in the layer-0 beam loop; None -> derived (ef_search + slack).
-    # Anchor-seeded beams start ~inside the answer's neighborhood and converge
-    # in a few hops (measured: recall flat after 4-6 hops on 100k clustered,
-    # ~1.7 us/query/hop) — 8 is safely past the knee at ~1/3 the cost of the
-    # derived budget. Set None for the conservative derived cap (e.g. when
-    # seed_anchors=0 makes descent the only seeding).
-    max_iters: Optional[int] = 8
+    # Max hops in the layer-0 beam loop; None -> derived (ef/expand + 4),
+    # which scales with ef_search. A FIXED small cap is faster on clustered
+    # data (anchor seeds converge in 4-6 hops) but silently caps recall when
+    # the user raises ef on hard/uniform data (measured: -7 recall points at
+    # ef=128 with a cap of 8) — so the default derives from ef.
+    max_iters: Optional[int] = None
     # Max greedy hops per upper layer.
     max_upper_iters: int = 32
     # Use only the first `search_degree` neighbors of each expanded node;
