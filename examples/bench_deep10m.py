@@ -35,11 +35,17 @@ def main():
 
     n, d, nq, k = 10_000_000, 96, 10_000, 10
     t0 = time.time()
-    x, _, _, metric = load_dataset("deep10m", max_rows=n)
+    x_cache = f"/tmp/zvdb_deep10m_{n}_{d}.npy"
+    metric = "l2"
+    if os.path.exists(x_cache):
+        x = np.load(x_cache, mmap_mode=None)
+    else:
+        x, _, _, metric = load_dataset("deep10m", max_rows=n)
+        np.save(x_cache, x)
     rng = np.random.default_rng(9)
     q = (x[rng.integers(0, n, nq)]
          + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
-    print(f"data generated in {time.time()-t0:.0f}s", flush=True)
+    print(f"data ready in {time.time()-t0:.0f}s", flush=True)
 
     gt_cache = f"/tmp/zvdb_gt_deep10m_{n}_{d}_{nq}_{k}.npz"
     if os.path.exists(gt_cache):

@@ -132,3 +132,51 @@ def test_ivf_empty_and_k_gt_n(rng):
     s, ids = idx.search(np.zeros((1, 8), np.float32), 10, nprobe=8)
     ids = np.asarray(ids)
     assert (ids >= 0).sum() == 5
+
+
+def test_pair_scan_matches_grouped_scan():
+    """The two scan modes (pair gather vs ScaNN grouping) must agree.
+
+    Mode choice is c*8 > b*p: a small batch takes the pair path, a large
+    batch the grouped path — same index, same queries, same results."""
+    import jax
+    import jax.numpy as jnp
+
+    from zvdb_tpu import IVFConfig, IVFIndex
+    from zvdb_tpu.index.ivf import _grouped_scan, _pair_scan
+    from zvdb_tpu.ops import distance as D
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4000, 24)).astype(np.float32)
+    idx = IVFIndex(IVFConfig(dim=24, n_clusters=64, nprobe=6))
+    idx.build(x)
+    q = x[:32] + 0.01
+    qp = D.preprocess_queries(jnp.asarray(q), "l2")
+    st = idx.state
+    cs = D.pairwise_scores(qp, st.centroids, st.c_norms, "l2")
+    _, probes = jax.lax.top_k(-cs, 6)
+    ps, pi = _pair_scan(st, qp, cs, probes, 10, "l2", False)
+    gs, gi = _grouped_scan(st, qp, cs, probes, 10, "l2", False, 4.0)
+    # same candidates per query (slot layouts differ; compare as sets of
+    # (id) with matching scores)
+    for r in range(32):
+        pd = {int(i): float(s) for s, i in zip(np.asarray(ps)[r], np.asarray(pi)[r]) if i >= 0}
+        gd = {int(i): float(s) for s, i in zip(np.asarray(gs)[r], np.asarray(gi)[r]) if i >= 0}
+        assert set(pd) == set(gd)
+        for i in pd:
+            assert abs(pd[i] - gd[i]) < 1e-4
+
+
+def test_pair_scan_int8_residual_rerank_small_batch():
+    # small batch forces the pair path end-to-end with residual codes
+    from zvdb_tpu import IVFConfig, IVFIndex
+
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((40, 16)).astype(np.float32)
+    x = (centers[rng.integers(0, 40, 4000)]
+         + 0.1 * rng.standard_normal((4000, 16))).astype(np.float32)
+    idx = IVFIndex(IVFConfig(dim=16, n_clusters=64, nprobe=8, dtype="int8",
+                             rerank=4))
+    idx.build(x)
+    _, ids = idx.search(x[:8], 1)     # b=8, p=8 -> c*8=512 > 64 -> pair mode
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).mean() >= 0.99

@@ -39,9 +39,11 @@ __all__ = [
 
 def __getattr__(name):
     # sharded engines import lazily (they touch jax.sharding / mesh state)
-    if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "make_mesh"):
+    if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "ShardedCagra",
+                "make_mesh"):
         from .parallel.mesh import make_mesh
         from .parallel.sharded import ShardedHNSW
+        from .parallel.sharded_cagra import ShardedCagra
         from .parallel.sharded_flat import ShardedFlat
         from .parallel.sharded_ivf import ShardedIVF
 
@@ -49,6 +51,7 @@ def __getattr__(name):
             "ShardedHNSW": ShardedHNSW,
             "ShardedFlat": ShardedFlat,
             "ShardedIVF": ShardedIVF,
+            "ShardedCagra": ShardedCagra,
             "make_mesh": make_mesh,
         }[name]
     raise AttributeError(name)

@@ -189,6 +189,14 @@ def _pack_segment(
     return blocks, b_norms, b_scales, b_ids
 
 
+@functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("metric",))
+def _shadow_segment(seg, rr, rrn, lo, metric: str):
+    rr = jax.lax.dynamic_update_slice(rr, seg.astype(rr.dtype), (lo, 0))
+    if metric == "l2":
+        rrn = jax.lax.dynamic_update_slice(rrn, D.sq_norms(seg), (lo,))
+    return rr, rrn
+
+
 def _pack_device(
     xd: jax.Array,       # [N, D] f32 corpus, device-resident (preprocessed)
     cent: jax.Array,     # [C, D] f32
@@ -234,10 +242,16 @@ def _pack_device(
 
     if rerank:
         rr_dtype = jnp.float32 if rerank_dtype == "float32" else jnp.bfloat16
-        rr = jnp.zeros((rcap, dim), rr_dtype).at[:n].set(xd.astype(rr_dtype))
+        # donated, segmented fill: an un-donated .at[:n].set of a corpus-sized
+        # f32 buffer transiently doubles it (2 x 3.85 GB at 10M x 96) and
+        # OOMed the chip on top of corpus + blocks
+        rr = jnp.zeros((rcap, dim), rr_dtype)
         rrn = jnp.zeros((rcap,), jnp.float32)
-        if metric == "l2":
-            rrn = rrn.at[:n].set(D.sq_norms(xd))
+        for lo in range(0, n, segment):
+            hi = min(lo + segment, n)
+            rr, rrn = _shadow_segment(
+                jax.lax.slice(xd, (lo, 0), (hi, dim)), rr, rrn,
+                jnp.asarray(lo, jnp.int32), metric=metric)
     else:
         rr = jnp.zeros((0, dim), jnp.bfloat16)
         rrn = jnp.zeros((0,), jnp.float32)
@@ -337,8 +351,94 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         cs = D.pairwise_scores(qp, state.centroids, state.c_norms, metric)  # [B, C]
         if c_mask is not None:  # sharded: padded cluster slots never probed
             cs = jnp.where(c_mask[None, :], cs, INF)
-        _, probes = jax.lax.top_k(-cs, p)                                   # [B, P]
+        if c >= 4096 and p * 4 <= c:
+            # hardware partial top-k for probe selection: exact lax.top_k over
+            # a many-thousand-cluster row is a fixed per-batch cost the probes
+            # do not need (a ~97%-quality probe set loses ~0 end recall)
+            _, probes = jax.lax.approx_min_k(cs, p)
+        else:
+            _, probes = jax.lax.top_k(-cs, p)                               # [B, P]
 
+        kk = min(k * rerank if rerank else k, bcap)
+        if c * 8 > b * p:
+            # ---- pair scan: one fat block gather per (query, probe) ------
+            # The grouped path below scores C x q_cap slots on the MXU no
+            # matter how few are live — at DEEP-10M (C=22.7k) that fixed
+            # ~300 ms/batch made QPS INVARIANT to nprobe. When clusters
+            # outnumber probe pairs, gathering each pair's block rows
+            # ([B*P, cap, D], ~150 KB fat rows at 10M int8) and scoring
+            # [B*P, cap] directly has no empty slots and scales with nprobe.
+            merged_s, merged_i = _pair_scan(
+                state, qp, cs, probes, kk, metric, residual)
+        else:
+            merged_s, merged_i = _grouped_scan(
+                state, qp, cs, probes, kk, metric, residual, group_slack)
+        if rerank:
+            cand_s, cand_i = T.smallest_k(merged_s, merged_i, min(k * rerank, merged_s.shape[-1]))
+            cand_s, cand_i = T.mask_duplicate_ids(cand_s, cand_i)
+            rv = jnp.take(state.rerank_vecs, jnp.maximum(cand_i, 0), axis=0)
+            rn = jnp.take(state.rerank_norms, jnp.maximum(cand_i, 0), axis=0)
+            ex = D.gathered_scores(qp, rv, rn, metric)
+            ex = jnp.where(cand_i >= 0, ex, INF)
+            best_s, best_i = T.smallest_k(ex, cand_i, k)
+        else:
+            best_s, best_i = T.smallest_k(merged_s, merged_i, k)
+
+        user = D.finalize_scores(best_s, qp, metric)
+        user = jnp.where(best_i >= 0, user, INF if metric == "l2" else -INF)
+        if id_map is not None:
+            best_i = jnp.where(
+                best_i >= 0, jnp.take(id_map, jnp.maximum(best_i, 0)), -1
+            )
+        return user, best_i
+
+    if precision != "default":
+        with jax.default_matmul_precision(precision):
+            return body()
+    return body()
+
+
+def _pair_scan(state: IVFState, qp, cs, probes, kk: int, metric: str,
+               residual: bool):
+    """[B, P] probes -> (scores [B, P*kk], local ids [B, P*kk])."""
+    b = qp.shape[0]
+    c, bcap, d = state.blocks.shape
+    p = probes.shape[1]
+    pc = probes.reshape(-1)                                  # [B*P]
+    blk = jnp.take(state.blocks, pc, axis=0)                 # [BP, cap, D]
+    qv = jnp.repeat(qp, p, axis=0)                           # [BP, D]
+    dots = jnp.einsum("pd,pbd->pb", qv, blk.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)    # [BP, cap]
+    dots = dots * jnp.take(state.b_scales, pc, axis=0)
+    if residual:
+        qd = jnp.take_along_axis(cs, probes, axis=1).reshape(-1)  # [BP]
+        if metric == "l2":
+            qdotc = 0.5 * (jnp.take(state.c_norms, pc) - qd)
+        else:
+            qdotc = -qd
+        qdotc = jnp.where(jnp.isfinite(qdotc), qdotc, 0.0)
+        dots = dots + qdotc[:, None]
+    bn = jnp.take(state.b_norms, pc, axis=0)
+    s = bn - 2.0 * dots if metric == "l2" else -dots
+    bi = jnp.take(state.b_ids, pc, axis=0)
+    s = jnp.where(bi >= 0, s, INF)
+    if bcap >= 4 * kk:
+        ts, tpos = jax.lax.approx_min_k(s, kk)
+    else:
+        neg, tpos = jax.lax.top_k(-s, kk)
+        ts = -neg
+    ti = jnp.take_along_axis(bi, tpos, axis=-1)
+    ti = jnp.where(jnp.isfinite(ts), ti, -1)
+    return ts.reshape(b, p * kk), ti.reshape(b, p * kk)
+
+
+def _grouped_scan(state: IVFState, qp, cs, probes, kk: int, metric: str,
+                  residual: bool, group_slack: float):
+    """ScaNN-style cluster-grouped scan -> (scores, local ids) [B, P*kk]."""
+    b = qp.shape[0]
+    c, bcap, d = state.blocks.shape
+    p = probes.shape[1]
+    if True:
         # ---- group probe pairs by cluster --------------------------------
         # Sort key (cluster, probe_rank): within a cluster, rank-0 probes get
         # slots before rank-(P-1) ones. Probe loads are heavily skewed ("magnet"
@@ -393,7 +493,6 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         s = jnp.where(state.b_ids[:, None, :] >= 0, s, INF)
         s = jnp.where((qslot >= 0)[:, :, None], s, INF)
 
-        kk = min(k * rerank if rerank else k, bcap)
         ts, tpos = jax.lax.top_k(-s, kk)                           # [C, Qcap, kk]
         ts = -ts
         ti = jnp.take_along_axis(
@@ -410,29 +509,7 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         out_i = out_i.at[wq, wp].set(ti)
         merged_s = out_s[:b].reshape(b, p * kk)
         merged_i = out_i[:b].reshape(b, p * kk)
-        if rerank:
-            cand_s, cand_i = T.smallest_k(merged_s, merged_i, min(k * rerank, p * kk))
-            cand_s, cand_i = T.mask_duplicate_ids(cand_s, cand_i)
-            rv = jnp.take(state.rerank_vecs, jnp.maximum(cand_i, 0), axis=0)
-            rn = jnp.take(state.rerank_norms, jnp.maximum(cand_i, 0), axis=0)
-            ex = D.gathered_scores(qp, rv, rn, metric)
-            ex = jnp.where(cand_i >= 0, ex, INF)
-            best_s, best_i = T.smallest_k(ex, cand_i, k)
-        else:
-            best_s, best_i = T.smallest_k(merged_s, merged_i, k)
-
-        user = D.finalize_scores(best_s, qp, metric)
-        user = jnp.where(best_i >= 0, user, INF if metric == "l2" else -INF)
-        if id_map is not None:
-            best_i = jnp.where(
-                best_i >= 0, jnp.take(id_map, jnp.maximum(best_i, 0)), -1
-            )
-        return user, best_i
-
-    if precision != "default":
-        with jax.default_matmul_precision(precision):
-            return body()
-    return body()
+        return merged_s, merged_i
 
 
 ivf_search = jax.jit(

@@ -1,0 +1,345 @@
+"""Mesh-sharded CAGRA: the flagship graph engine over a device mesh.
+
+Same parallelism shape as ShardedHNSW (SURVEY.md §2.3 — the expert-parallel
+analog: corpus partitioned over the shard axis, per-shard single-layer
+graphs, query fan-out, all-gather top-k merge; contrast reference
+src/hnsw.zig:74's global mutex):
+
+  * search: cagra_search_impl per shard under shard_map — graph gathers never
+    cross shards; the [B, S*k] merge rides ICI via sharding-derived
+    all-gather.
+  * incremental insert: round-robin routed, appended with the SAME jitted
+    extend step as the single-chip engine (cagra._extend_batch_impl) run
+    SPMD under shard_map — O(new) per insert, every shard extends its own
+    subgraph simultaneously.
+  * bulk build: each shard's graph comes from the all-MXU cluster-kNN builder
+    (knn_graph.build_knn_graph). The builder is host-orchestrated (block
+    packing bookkeeping runs on the host), so shard graphs are constructed
+    one at a time and device_put into the stacked sharded layout — build is
+    per-shard sequential, search/insert are SPMD. External ids are tracked in
+    a stacked [S, cap] table so results carry global insertion-order ids.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.cagra import (
+    CagraConfig, CagraIndex, CagraState, _extend_batch_impl, cagra_search_impl,
+    _SearchArrays,
+)
+from ..ops import topk as T
+from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+from .sharded import shard_map
+
+INF = jnp.inf
+
+
+class ShardedCagra:
+    """Mesh-sharded CagraIndex. API mirrors the single-chip class."""
+
+    def __init__(self, cfg: CagraConfig, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.shape[SHARD_AXIS]
+        self.n_data = self.mesh.shape.get(DATA_AXIS, 1)
+        self.state: Optional[CagraState] = None   # stacked [S, ...] leaves
+        self.ext_ids: Optional[jax.Array] = None  # [S, cap] int32, -1 pad
+        self.shard_cap = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._n = 0
+        self._pending: list[np.ndarray] = []
+        self._search_fn = None
+        self._search_key = None
+        self._step_fn = None
+
+    def __len__(self) -> int:
+        return self._n + sum(p.shape[0] for p in self._pending)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    def _sharding(self):
+        return NamedSharding(self.mesh, P(SHARD_AXIS))
+
+    # ------------------------------------------------------------------ build
+    def build(self, x) -> None:
+        """Contiguous split across shards; per-shard all-MXU graph build."""
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        s = self.n_shards
+        per = -(-n // s) if n else 1
+        bsz = min(self.cfg.build_batch, max(per, 1))
+        cap = -(-per // bsz) * bsz
+        self.shard_cap = cap
+        self._n = n
+        self._pending = []
+        self._search_fn = None
+
+        shard_states = []
+        ext = np.full((s, cap), -1, np.int32)
+        a_count = None
+        for si in range(s):
+            lo, hi = si * per, min((si + 1) * per, n)
+            cnt = max(hi - lo, 0)
+            sub = CagraIndex(dataclasses.replace(self.cfg, seed=self.cfg.seed + si))
+            sub.build(x[lo:hi])
+            if cnt and sub.capacity < cap:
+                sub._grow(cap)
+            st = sub.state
+            if a_count is None:
+                a_count = st.anchors.shape[0]
+            elif st.anchors.shape[0] != a_count:
+                # pad/trim anchor tables to a uniform stacked shape
+                st = _pad_anchors(st, a_count)
+            shard_states.append(st)
+            ext[si, :cnt] = np.arange(lo, hi, dtype=np.int32)
+
+        sh = self._sharding()
+        self.state = jax.tree.map(
+            lambda *leaves: jax.device_put(jnp.stack(leaves), sh), *shard_states
+        )
+        self.ext_ids = jax.device_put(jnp.asarray(ext), sh)
+
+    # ------------------------------------------------------ incremental insert
+    def insert(self, x) -> None:
+        x = np.array(x, np.float32, copy=True)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
+            )
+        self._pending.append(x)
+
+    add = insert
+
+    def flush(self) -> None:
+        self._flush()
+
+    def _make_step(self):
+        if self._step_fn is not None:
+            return self._step_fn
+        cfg, mesh = self.cfg, self.mesh
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(state, ext_ids, xb, vb, eb):
+            specs = jax.tree.map(lambda _: P(SHARD_AXIS), state)
+
+            def local(st, ext, xb, vb, eb):
+                st1 = jax.tree.map(lambda a: a[0], st)
+                base = st1.n
+                st1 = _extend_batch_impl(st1, xb[0], vb[0], cfg)
+                rows = base + jnp.arange(xb.shape[1], dtype=jnp.int32)
+                ext = ext.at[0, rows].set(
+                    jnp.where(vb[0], eb[0], jnp.take(ext[0], rows)),
+                    mode="drop",
+                )
+                return jax.tree.map(lambda a: a[None], st1), ext
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(specs, P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                          P(SHARD_AXIS)),
+                out_specs=(specs, P(SHARD_AXIS)),
+            )(state, ext_ids, xb, vb, eb)
+
+        self._step_fn = step
+        return step
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        new = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        if self.state is None:
+            base = self._n
+            self.build(new)
+            self._n = base + new.shape[0]
+            return
+        s = self.n_shards
+        base = self._n
+        per = -(-new.shape[0] // s)
+        bsz = min(self.cfg.build_batch, max(per, 1))
+        nb = -(-per // bsz)
+        n_per = np.asarray(jax.device_get(self.state.n))
+        need = int(n_per.max()) + nb * bsz
+        if need > self.shard_cap:
+            self._grow(max(need, 2 * self.shard_cap))
+        sh = self._sharding()
+        step = self._make_step()
+        state, ext_ids = self.state, self.ext_ids
+        for t in range(nb):
+            xb = np.zeros((s, bsz, self.cfg.dim), np.float32)
+            vb = np.zeros((s, bsz), bool)
+            eb = np.full((s, bsz), -1, np.int32)
+            for si in range(s):
+                lo = si * per + t * bsz
+                hi = min(lo + bsz, min((si + 1) * per, new.shape[0]))
+                cnt = max(hi - lo, 0)
+                if cnt == 0:
+                    continue
+                xb[si, :cnt] = new[lo:hi]
+                vb[si, :cnt] = True
+                eb[si, :cnt] = base + np.arange(lo, hi, dtype=np.int32)
+            state, ext_ids = step(
+                state, ext_ids,
+                jax.device_put(xb, sh), jax.device_put(vb, sh),
+                jax.device_put(eb, sh),
+            )
+        self.state, self.ext_ids = state, ext_ids
+        self._n = base + new.shape[0]
+        self._search_fn = None
+
+    def _grow(self, new_cap: int) -> None:
+        bsz = min(self.cfg.build_batch, max(new_cap, 1))
+        new_cap = -(-new_cap // bsz) * bsz
+        cap = self.shard_cap
+        deg = self.cfg.degree
+        d = self.cfg.dim
+        s = self.n_shards
+        old, old_ext = self.state, self.ext_ids
+        sdt = self.cfg.storage_dtype
+
+        def grow(old, old_ext):
+            return CagraState(
+                vectors=jnp.zeros((s, new_cap, d), sdt)
+                .at[:, :cap].set(old.vectors),
+                norms=jnp.zeros((s, new_cap), jnp.float32)
+                .at[:, :cap].set(old.norms),
+                nbrs=jnp.full((s, new_cap + 1, deg), -1, jnp.int32)
+                .at[:, :cap].set(old.nbrs[:, :-1]),
+                dists=jnp.full((s, new_cap + 1, deg), jnp.inf, jnp.float32)
+                .at[:, :cap].set(old.dists[:, :-1]),
+                anchors=old.anchors, a_norms=old.a_norms, a_rows=old.a_rows,
+                n=old.n, q_scale=old.q_scale,
+            ), jnp.full((s, new_cap), -1, jnp.int32).at[:, :cap].set(old_ext)
+
+        sh = self._sharding()
+        out_shardings = (jax.tree.map(lambda _: sh, old), sh)
+        self.state, self.ext_ids = jax.jit(
+            grow, donate_argnums=(0, 1), out_shardings=out_shardings)(old, old_ext)
+        self.shard_cap = new_cap
+        self._search_fn = None
+
+    # ----------------------------------------------------------------- search
+    def _make_search(self, k: int, ef: int):
+        cfg, mesh = self.cfg, self.mesh
+        specs = jax.tree.map(lambda _: P(SHARD_AXIS), self.state)
+        qspec = P(DATA_AXIS) if self.n_data > 1 else P()
+
+        @jax.jit
+        def run(state, ext_ids, q):
+            def local(st, ext, q):
+                st1 = jax.tree.map(lambda a: a[0], st)
+                arrs = _SearchArrays(
+                    table=st1.vectors, norms=st1.norms, nbrs=st1.nbrs,
+                    anchors=st1.anchors, a_norms=st1.a_norms,
+                    a_rows=st1.a_rows, n=st1.n, q_scale=st1.q_scale,
+                )
+                s_, rows = cagra_search_impl(
+                    arrs, q, k, cfg.metric, ef, cfg.n_seeds, cfg.expand,
+                    cfg.max_iters, cfg.precision, packed=False, fat=False,
+                    seed_approx=cfg.seed_approx,
+                )
+                g = jnp.where(rows >= 0,
+                              jnp.take(ext[0], jnp.maximum(rows, 0)), -1)
+                return s_[:, None, :], g[:, None, :]
+
+            s_, g = shard_map(
+                local, mesh=mesh,
+                in_specs=(specs, P(SHARD_AXIS), qspec),
+                out_specs=(P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS),
+                           P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS)),
+            )(state, ext_ids, q)
+            b = s_.shape[0]
+            s_ = s_.reshape(b, -1)
+            g = g.reshape(b, -1)
+            key = s_ if cfg.metric == "l2" else -s_
+            key = jnp.where(g >= 0, key, INF)
+            mk, mi = T.smallest_k(key, g, k)
+            merged = mk if cfg.metric == "l2" else -mk
+            merged = jnp.where(mi >= 0, merged,
+                               INF if cfg.metric == "l2" else -INF)
+            return merged, mi
+
+        return run
+
+    def search(self, q, k: int, ef_search: Optional[int] = None):
+        self._flush()
+        q = np.atleast_2d(np.asarray(q, np.float32))
+        if q.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
+            )
+        if self.state is None or self._n == 0:
+            s = np.full((q.shape[0], k),
+                        np.inf if self.cfg.metric == "l2" else -np.inf)
+            return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
+        ef = ef_search if ef_search is not None else self.cfg.ef_search
+        key = (k, ef)
+        if self._search_fn is None or self._search_key != key:
+            self._search_fn = self._make_search(k, ef)
+            self._search_key = key
+        return self._search_fn(self.state, self.ext_ids, jnp.asarray(q))
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        self._flush()
+        meta = dict(cfg=dataclasses.asdict(self.cfg), shard_cap=self.shard_cap,
+                    n=self._n, n_shards=self.n_shards)
+        arrays = {}
+        if self.state is not None:
+            for f in CagraState._fields:
+                v = np.asarray(getattr(self.state, f))
+                if str(v.dtype) == "bfloat16":
+                    v = v.astype(np.float32)
+                arrays[f] = v
+            arrays["ext_ids"] = np.asarray(self.ext_ids)
+        np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedCagra":
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            cfg = CagraConfig(**meta["cfg"])
+            idx = cls(cfg, mesh=mesh)
+            if idx.n_shards != meta["n_shards"]:
+                raise ValueError(
+                    f"saved with {meta['n_shards']} shards, mesh has {idx.n_shards}"
+                )
+            idx.shard_cap = meta["shard_cap"]
+            idx._n = meta["n"]
+            if "vectors" in z:
+                sh = idx._sharding()
+                idx.state = CagraState(**{
+                    f: jax.device_put(
+                        jnp.asarray(z[f], cfg.storage_dtype if f == "vectors"
+                                    else None), sh)
+                    for f in CagraState._fields
+                })
+                idx.ext_ids = jax.device_put(jnp.asarray(z["ext_ids"]), sh)
+        return idx
+
+
+def _pad_anchors(st: CagraState, a_count: int) -> CagraState:
+    a = st.anchors.shape[0]
+    if a >= a_count:
+        return st._replace(anchors=st.anchors[:a_count],
+                           a_norms=st.a_norms[:a_count],
+                           a_rows=st.a_rows[:a_count])
+    pad = a_count - a
+    return st._replace(
+        anchors=jnp.pad(st.anchors, ((0, pad), (0, 0))),
+        a_norms=jnp.pad(st.a_norms, (0, pad), constant_values=jnp.inf),
+        a_rows=jnp.pad(st.a_rows, (0, pad), constant_values=0),
+    )
