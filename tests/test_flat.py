@@ -107,3 +107,35 @@ def test_dimension_mismatch_raises(rng):
     idx.add(np.zeros((2, 8), np.float32))
     with pytest.raises(ValueError):
         idx.search(np.zeros((1, 4), np.float32), 1)
+
+
+def test_rerank_two_pass_matches_exact(rng):
+    """FlatConfig.rerank: native-rate scan + exact rerank == exact top-k
+    (on CPU the scan precision is f32 anyway; the contract here is ids and
+    exact rescored values, incl. int8 per-vector dequant)."""
+    from zvdb_tpu import FlatConfig, FlatIndex
+
+    x = rng.standard_normal((2000, 24)).astype(np.float32)
+    q = x[:50] + 0.01
+    ex = FlatIndex(FlatConfig(dim=24), capacity=2048)
+    ex.add(x)
+    es, ei = ex.search(q, 10)
+    for dtype in ("float32", "int8"):
+        rr = FlatIndex(FlatConfig(dim=24, dtype=dtype, rerank=4,
+                                  recall_target=0.97), capacity=2048)
+        rr.add(x)
+        rs, ri = rr.search(q, 10, approx=True)
+        hit = np.mean([
+            len(set(np.asarray(ri)[i]) & set(np.asarray(ei)[i])) / 10
+            for i in range(50)
+        ])
+        assert hit >= (0.99 if dtype == "float32" else 0.9), (dtype, hit)
+        # rescored values are true distances to STORED vectors: for f32 they
+        # match the exact engine's scores on agreeing slots
+        if dtype == "float32":
+            same = np.asarray(ri) == np.asarray(ei)
+            # catastrophic cancellation makes near-zero squared distances
+            # absolute-error quantities (||q||^2 - 2qx + ||x||^2)
+            np.testing.assert_allclose(np.asarray(rs)[same],
+                                       np.asarray(es)[same], rtol=1e-4,
+                                       atol=2e-3)

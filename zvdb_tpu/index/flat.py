@@ -134,6 +134,43 @@ def _search(
     return out, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "recall_target",
+                     "scan_precision", "rerank"),
+)
+def _search_rerank(
+    state: FlatState, q: jax.Array, k: int, metric: str, tile_n: int,
+    recall_target: float = 0.95, scan_precision: str = "default",
+    rerank: int = 4,
+):
+    """Two-pass approx search: native-rate scan + exact rerank.
+
+    Pass 1 runs the tiled approx scan at `scan_precision` (bf16 "default" =
+    3x the bf16x3 MXU rate; its ~4e-3 relative error would crater top-k
+    recall directly — the measured bf16 cliff) keeping rerank*k candidates.
+    Pass 2 gathers those rows (B * rerank*k gathers, ~7 ns each) and rescores
+    at full f32, repairing the ranking. Returns user-facing (scores, ids).
+    """
+    kk = max(k * rerank, k)
+    qs = D.preprocess_queries(q, metric)
+    s1, i1 = _search(state, q, kk, metric, tile_n, approx=True,
+                     recall_target=recall_target, precision=scan_precision)
+    safe = jnp.maximum(i1, 0)
+    rv = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)
+    rv = rv * jnp.take(state.scales, safe, axis=0)[..., None]
+    rn = jnp.take(state.norms, safe, axis=0)
+    dots = jnp.einsum("bd,bcd->bc", qs, rv,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    ex = rn - 2.0 * dots if metric == "l2" else rn - dots
+    ex = jnp.where(i1 >= 0, ex, jnp.inf)
+    best_s, best_i = T.smallest_k(ex, i1, k)
+    out = D.finalize_scores(best_s, qs, metric)
+    out = jnp.where(best_i >= 0, out, jnp.inf if metric == "l2" else -jnp.inf)
+    return out, best_i
+
+
 class FlatIndex:
     """Exact kNN index. API mirrors the reference HNSW surface
     (init/insert/search — reference src/hnsw.zig:52,73,194) with batching."""
@@ -248,6 +285,13 @@ class FlatIndex:
         if self.state is None:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        elif approx and self.cfg.rerank:
+            s, i = _search_rerank(
+                self.state, q, k, self.cfg.metric, self.cfg.tile_n,
+                recall_target=self.cfg.recall_target,
+                scan_precision=self.cfg.scan_precision,
+                rerank=self.cfg.rerank,
+            )
         elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
             s, i = self._search_pallas(q, k)
         else:

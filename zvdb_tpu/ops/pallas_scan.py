@@ -12,7 +12,9 @@ On the last chunk the scratch is flushed to the output block.
 This is the TPU-KNN design (PAPERS.md: "K Nearest Neighbor Search at Peak
 FLOP/s") expressed in Pallas. Exact: full scan, exact selection.
 
-STATUS: correct under the Pallas interpreter (tests/test_pallas_scan.py); the
+STATUS: SUPERSEDED by ops/pallas_topk.py (v3 — compiles on TPU, production
+correct, ~parity with the XLA approx_min_k path; see docs/PERF.md). Kept as
+the record of the first attempt. Original status: correct under the Pallas interpreter (tests/test_pallas_scan.py); the
 compiled path is blocked on this platform's Mosaic version — lax.top_k has no
 TPU lowering and the iterative min-extraction loop trips a register-allocator
 spill (~257MB of spill slots at any tile size). The XLA flat path

@@ -8,7 +8,9 @@ set stays ~1 copy. argmin/argmax are replaced by the compare+min-reduce
 pattern (min -> equality mask -> min over masked column ids), which lowers to
 plain VPU reductions.
 
-STATUS: exact under the Pallas interpreter (see tests); on this platform's
+STATUS: SUPERSEDED by ops/pallas_topk.py (v3 — bin-parallel fold; compiles
+on TPU, ~parity with XLA approx_min_k; docs/PERF.md). Original status:
+exact under the Pallas interpreter (see tests); on this platform's
 Mosaic the compile itself does not terminate within 10 minutes (the unrolled
 k x [256, 2048] compare/reduce chain appears to blow up compile time rather
 than VMEM now). Not wired into any engine; the XLA approx_min_k path remains
