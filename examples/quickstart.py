@@ -1,12 +1,17 @@
-"""zvdb-tpu quickstart: build, search, persist, serve — all three engines.
+"""zvdb-tpu quickstart: build, search, persist, serve — all four engines.
 
 Run:  python examples/quickstart.py        (TPU if available, else CPU)
 """
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from zvdb_tpu import (
-    FlatConfig, FlatIndex, HNSW, HNSWConfig, IVFConfig, IVFIndex,
-    SearchServer, exact_ground_truth,
+    CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,
+    IVFConfig, IVFIndex, SearchServer, exact_ground_truth,
 )
 
 rng = np.random.default_rng(0)
@@ -34,6 +39,12 @@ hnsw.insert(rng.standard_normal(D).astype(np.float32))   # incremental insert
 hnsw.save("/tmp/quickstart_hnsw.npz")
 reloaded = HNSW.load("/tmp/quickstart_hnsw.npz")
 assert len(reloaded) == N + 1
+
+# --- CAGRA (the fast graph engine: single layer, anchor-seeded beams) ------
+cagra = CagraIndex(CagraConfig(dim=D, degree=32))
+cagra.build(x)
+_, ids = cagra.search(q, K, ef_search=16)
+print(f"cagra  recall@{K}: {recall(ids):.3f}")
 
 # --- brute-force engine (TPU-KNN style) ------------------------------------
 flat = FlatIndex(FlatConfig(dim=D, precision="high"), capacity=N)

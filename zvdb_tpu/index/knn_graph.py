@@ -223,8 +223,8 @@ def build_knn_graph(
     reverse: bool = True,
     balance_slack: float = 1.6,
     precision: str = "high",
-    prune_chunk: int = 4096,
-    reverse_chunk: int = 65536,
+    prune_chunk: int = 8192,
+    reverse_chunk: int = 131072,
     reps: int = 4,
     n_long: int = 4,
     kc_per_view: int = 0,
