@@ -58,6 +58,7 @@ class CagraConfig:
     spill: int = 2                # clusters each point joins per pass
     passes: int = 2               # independent clustering passes
     kmeans_iters: int = 3
+    kmeans_sample: int = 65536    # Lloyd runs on this many sampled rows
     alpha: float = 1.2            # diversity-pruning relaxation
     precision: str = "high"
     seed_reps: int = 4            # representative rows kept per cluster
@@ -427,7 +428,7 @@ class CagraIndex:
                 kmeans_iters=cfg.kmeans_iters, alpha=cfg.alpha,
                 precision=cfg.precision, reps=cfg.seed_reps, n_long=cfg.n_long,
                 kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
-                block_topk=cfg.block_topk,
+                block_topk=cfg.block_topk, kmeans_sample=cfg.kmeans_sample,
             )
             q_scale = 1.0
             if cfg.dtype == "int8":

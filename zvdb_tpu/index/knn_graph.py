@@ -231,6 +231,7 @@ def build_knn_graph(
     prune_cap: int = 0,
     block_topk: str = "exact",
     chain: bool = True,
+    kmeans_sample: int = 65536,
 ) -> Tuple[np.ndarray, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Build a `degree`-regular approximate kNN graph over x [N, D].
 
@@ -284,7 +285,7 @@ def build_knn_graph(
             key, sub = jax.random.split(key)
             c = max(1, int(round(n * spill / block)))
             centj = _kmeans_device(xj, c, kmeans_iters, sub,
-                                   sample=min(n, 65536))
+                                   sample=min(n, kmeans_sample))
             mark(f"p{p}:kmeans", centj)
             cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
             assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
