@@ -182,7 +182,7 @@ def main():
         jax.block_until_ready(cagra.state)
         cagra_build_s = time.perf_counter() - t0
         cagra_ef, cagra_recall = None, 0.0
-        for ef in (16, 24, 32, 48, 64, 96):
+        for ef in (12, 16, 24, 32, 48, 64, 96):
             ids = np.asarray(cagra.search(q[:2048], k, ef_search=ef)[1])
             r = recall_at_k(ids, gt[:2048], k)
             log(f"cagra ef={ef} recall={r:.4f}")
