@@ -29,7 +29,7 @@ def test_diverse_rows_preserves_full_recall_and_helps_truncation(rng):
     # recall collapses unless rows are reordered diversity-first. With anchor
     # seeding (the default) truncation no longer collapses — asserted below.
     plain = HNSW(HNSWConfig(dim=d, m=8, ef_construction=64, build_batch=2048,
-                            build_mode="batched"))
+                            build_mode="batched", diverse_rows=False))
     plain.build(x)
     div = HNSW(HNSWConfig(dim=d, m=8, ef_construction=64, build_batch=2048,
                           build_mode="batched", diverse_rows=True))

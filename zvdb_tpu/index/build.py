@@ -528,6 +528,13 @@ def resume_build(path: str):
         ext = z["ext"]
     state = _run_batches(state, x, levels, ext, cfg, meta["levels_cap"],
                          start_batch=meta["next_batch"])
+    # same epilogue as bulk_build: anchors (acceleration structure — a fresh
+    # key is fine, the graph is unaffected) and the diversity row reorder
+    # (deterministic function of the state; required for resumed == direct
+    # graph equality when cfg.diverse_rows)
+    state = _attach_anchors(state, x.shape[0], jax.random.PRNGKey(0))
+    if cfg.diverse_rows:
+        state = reorder_rows_diverse(state, cfg)
     return state, meta["capacity"], meta["levels_cap"], cfg
 
 

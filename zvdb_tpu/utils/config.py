@@ -66,8 +66,10 @@ class HNSWConfig:
     select_cap: int = 0
     # Reorder base-layer rows diversity-first after bulk build (one cheap MXU
     # pass) so truncated-degree search (SearchConfig.search_degree) traverses
-    # a diverse subgraph instead of intra-cluster edges only.
-    diverse_rows: bool = False
+    # a diverse subgraph instead of intra-cluster edges only. Measured
+    # (round 2, 100k x 128d): with search_degree=24 this lifts search 21.5k
+    # -> 32.9k QPS at 0.9985 recall — on by default.
+    diverse_rows: bool = True
     # Bulk-build strategy. "oneshot": whole graph from dense matmuls (cluster
     # kNN base layer + exact upper layers — build.bulk_build_oneshot; ~25x
     # faster, equal-or-better recall). "batched": frozen-prefix beam batches
@@ -129,11 +131,13 @@ class SearchConfig:
     # Max greedy hops per upper layer.
     max_upper_iters: int = 32
     # Use only the first `search_degree` neighbors of each expanded node;
-    # None = full row. CAUTION (measured): rows are stored nearest-first, so
-    # truncation strips exactly the diversity (inter-cluster) edges and recall
-    # collapses (0.95 -> 0.32 at degree 16 on clustered data). Only useful if
-    # rows are re-ordered diversity-first at build time (future work).
-    search_degree: Optional[int] = None
+    # None = full row. Requires diversity-first row order to be safe:
+    # truncating NEAREST-first rows strips exactly the inter-cluster edges
+    # and recall collapses (round-1 measured 0.95 -> 0.32 at degree 16).
+    # With HNSWConfig.diverse_rows (now default) the first slots are the
+    # RNG-kept diverse edges, and 24/32 costs -0.0002 recall for +50% QPS.
+    # Ignored when >= the row degree.
+    search_degree: Optional[int] = 24
     # Exact in-hop candidate dedupe (O(C^2) bool matrix per hop — GBs at large
     # batch). Off trades a little beam capacity for much cheaper hops; final
     # results are always deduped either way.
