@@ -176,11 +176,13 @@ def main():
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        cagra = cagra_factory()
-        t0 = time.perf_counter()
-        cagra.build(x)
-        jax.block_until_ready(cagra.state)
-        cagra_build_s = time.perf_counter() - t0
+        cagra_build_s = float("inf")       # best-of-2 (relay variance)
+        for _ in range(2):
+            cagra = cagra_factory()
+            t0 = time.perf_counter()
+            cagra.build(x)
+            jax.block_until_ready(cagra.state)
+            cagra_build_s = min(cagra_build_s, time.perf_counter() - t0)
         cagra_ef, cagra_recall = None, 0.0
         for ef in (12, 16, 24, 32, 48, 64, 96):
             ids = np.asarray(cagra.search(q[:2048], k, ef_search=ef)[1])
@@ -212,11 +214,13 @@ def main():
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        hnsw = hnsw_factory()
-        t0 = time.perf_counter()
-        hnsw.build(x)
-        jax.block_until_ready(hnsw.state)
-        hnsw_build_s = time.perf_counter() - t0
+        hnsw_build_s = float("inf")        # best-of-2 (relay variance)
+        for _ in range(2):
+            hnsw = hnsw_factory()
+            t0 = time.perf_counter()
+            hnsw.build(x)
+            jax.block_until_ready(hnsw.state)
+            hnsw_build_s = min(hnsw_build_s, time.perf_counter() - t0)
         hnsw_ef = None
         hnsw_recall = 0.0
         for ef in (16, 24, 32, 48, 64, 96):
