@@ -561,8 +561,10 @@ def _subset_knn_layer(
     s = rows.shape[0]
     rows_j = jnp.asarray(rows, jnp.int32)
     sub_x = jnp.take(xj, rows_j, axis=0)
+    # device array passes straight through (np.asarray here was a
+    # device->host pull + re-upload through the ~50-100 MB/s relay per layer)
     nbrs_l, dists_l, *_ = build_knn_graph(
-        np.asarray(sub_x), degree, key, metric=metric, alpha=max(alpha, 1.1),
+        sub_x, degree, key, metric=metric, alpha=max(alpha, 1.1),
     )
     local = nbrs_l[:s]
     glob = jnp.where(local >= 0, jnp.take(rows_j, jnp.maximum(local, 0)), -1)
