@@ -157,7 +157,14 @@ def _reverse_pass(
     d = fwd_d.reshape(p)
     valid = tgt >= 0
     key = jnp.where(valid, tgt, jnp.int32(2**30))
-    order = jnp.argsort(key, stable=True)
+    # Sort by (target, distance): the per-target window below keeps only the
+    # first rev_window sources of each run, so runs must be nearest-first —
+    # a hub receiving more than rev_window same-target edges would otherwise
+    # keep arbitrary (batch-order) members instead of the best ones. Two
+    # stable argsorts = lexsort; the extra distance pass costs one lax.sort
+    # over P scalars (~ms at bulk sizes).
+    order_d = jnp.argsort(d, stable=True)
+    order = order_d[jnp.argsort(key[order_d], stable=True)]
     st = tgt[order]
     ss = src[order]
     sd = d[order]

@@ -91,9 +91,9 @@ class CagraConfig:
     # Hop budget. Anchor seeding starts the beam ~inside the answer's
     # neighborhood, so few hops are needed: measured on 100k x 128d clustered,
     # recall@10 is 0.994 after 2 hops, 0.998 after 4-6, flat afterwards —
-    # while each extra hop costs ~1.7 us/query. None = derived ef/expand + 4,
-    # which scales with ef_search (a fixed cap silently limits quality when
-    # ef is raised on harder data).
+    # while each extra hop costs ~1.7 us/query. None = derived ef/expand + 8
+    # (hnsw.beam_layer_fn), which scales with ef_search (a fixed cap silently
+    # limits quality when ef is raised on harder data).
     max_iters: Optional[int] = None
     # Select the n_seeds best anchors with the hardware partial top-k
     # (approx_min_k) instead of an exact sort: the [B, A] exact top_k is the

@@ -131,8 +131,10 @@ def flat_scan_bins(
 
     assert precision in ("highest", "high", "default")
 
-    # pad shapes to tile multiples (D to the 128-lane boundary)
-    bq = min(bq_tile, max(8, b))
+    # pad shapes to tile multiples (D to the 128-lane boundary; the query tile
+    # rounds up to a multiple of 8 — Mosaic f32 sublane tiling wants the
+    # second-to-minor block dim 8-aligned, and padding covers the remainder)
+    bq = min(bq_tile, -(-max(8, b) // 8) * 8)
     pb = -(-b // bq) * bq - b
     pd = -(-d // 128) * 128 - d
     pn = -(-n // chunk) * chunk - n

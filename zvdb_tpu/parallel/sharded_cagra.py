@@ -91,11 +91,19 @@ class ShardedCagra:
         for si in range(s):
             lo, hi = si * per, min((si + 1) * per, n)
             cnt = max(hi - lo, 0)
-            sub = CagraIndex(dataclasses.replace(self.cfg, seed=self.cfg.seed + si))
-            sub.build(x[lo:hi])
-            if cnt and sub.capacity < cap:
-                sub._grow(cap)
-            st = sub.state
+            if cnt == 0:
+                # tail shards of a small corpus (n < s*per) receive no points;
+                # CagraIndex.build on an empty slice has no graph to make
+                # (top_k over a [0, 0] score matrix raises) — allocate the
+                # empty grown state directly. Anchors pad to a_count below.
+                st = _empty_cagra_state(self.cfg, cap)
+            else:
+                sub = CagraIndex(
+                    dataclasses.replace(self.cfg, seed=self.cfg.seed + si))
+                sub.build(x[lo:hi])
+                if sub.capacity < cap:
+                    sub._grow(cap)
+                st = sub.state
             if a_count is None:
                 a_count = st.anchors.shape[0]
             elif st.anchors.shape[0] != a_count:
@@ -161,7 +169,9 @@ class ShardedCagra:
             return
         new = np.concatenate(self._pending, axis=0)
         self._pending = []
-        if self.state is None:
+        if self.state is None or self._n == 0:
+            # rebuild-from-scratch also covers an all-empty built state, whose
+            # shards have no anchor tables to seed the SPMD extend step with
             base = self._n
             self.build(new)
             self._n = base + new.shape[0]
@@ -249,7 +259,8 @@ class ShardedCagra:
                 s_, rows = cagra_search_impl(
                     arrs, q, k, cfg.metric, ef, cfg.n_seeds, cfg.expand,
                     cfg.max_iters, cfg.precision, packed=False, fat=False,
-                    seed_approx=cfg.seed_approx,
+                    dedupe=True, seed_approx=cfg.seed_approx,
+                    search_degree=cfg.search_degree,
                 )
                 g = jnp.where(rows >= 0,
                               jnp.take(ext[0], jnp.maximum(rows, 0)), -1)
@@ -329,6 +340,23 @@ class ShardedCagra:
                 })
                 idx.ext_ids = jax.device_put(jnp.asarray(z["ext_ids"]), sh)
         return idx
+
+
+def _empty_cagra_state(cfg: CagraConfig, cap: int) -> CagraState:
+    """Zero-point shard state at capacity `cap` (what CagraIndex.build would
+    produce for an empty slice, grown): all-invalid adjacency, no anchors."""
+    d, deg = cfg.dim, cfg.degree
+    return CagraState(
+        vectors=jnp.zeros((cap, d), cfg.storage_dtype),
+        norms=jnp.zeros((cap,), jnp.float32),
+        nbrs=jnp.full((cap + 1, deg), -1, jnp.int32),
+        dists=jnp.full((cap + 1, deg), jnp.inf, jnp.float32),
+        anchors=jnp.zeros((0, d), jnp.float32),
+        a_norms=jnp.zeros((0,), jnp.float32),
+        a_rows=jnp.zeros((0,), jnp.int32),
+        n=jnp.asarray(0, jnp.int32),
+        q_scale=jnp.asarray(1.0, jnp.float32),
+    )
 
 
 def _pad_anchors(st: CagraState, a_count: int) -> CagraState:

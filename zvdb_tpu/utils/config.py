@@ -122,8 +122,8 @@ class SearchConfig:
     # fixed latency; expanding 8 at once cuts hop count ~8x for a small
     # extra-candidate cost).
     expand: int = 8
-    # Max hops in the layer-0 beam loop; None -> derived (ef/expand + 4),
-    # which scales with ef_search. A FIXED small cap is faster on clustered
+    # Max hops in the layer-0 beam loop; None -> derived (ef/expand + 8, see
+    # hnsw.beam_layer_fn), which scales with ef_search. A FIXED small cap is faster on clustered
     # data (anchor seeds converge in 4-6 hops) but silently caps recall when
     # the user raises ef on hard/uniform data (measured: -7 recall points at
     # ef=128 with a cap of 8) — so the default derives from ef.
