@@ -174,6 +174,24 @@ def _pick_anchor_rows(key: jax.Array, n: int, n_anchors: int) -> jax.Array:
     return jax.random.choice(key, n, (a,), replace=False).astype(jnp.int32)
 
 
+def _reseed_anchors(state: CagraState, n: int, key: jax.Array,
+                    n_anchors: int) -> CagraState:
+    """Resample the anchor table over the current row range [0, n).
+
+    Anchor staleness: the seed table is sampled at build time, so an index
+    grown well past its build size would seed every beam from the ORIGINAL
+    corpus region only — inserted points become reachable solely through
+    graph edges, and recall on them decays with the growth ratio. Callers
+    refresh when n doubles past the last snapshot (cheap: one gather; the
+    changed anchor-table shape recompiles the search program, which is why
+    refreshes are geometric, not per-flush)."""
+    a_rows = _pick_anchor_rows(key, n, n_anchors)
+    anchors = jnp.take(state.vectors, a_rows, axis=0).astype(jnp.float32) \
+        * state.q_scale
+    a_norms = jnp.take(state.norms, a_rows)   # zeros already for dot/cosine
+    return state._replace(anchors=anchors, a_norms=a_norms, a_rows=a_rows)
+
+
 @jax.jit
 def _build_fat_pack(vectors, norms, nbrs, q_scale):
     """[cap+1, deg*(D+2)] f32: per node, its neighbors' (vector‖norm‖id) rows
@@ -406,6 +424,7 @@ class CagraIndex:
         self._lock = threading.RLock()
         self._pending: list[np.ndarray] = []
         self._n_inserted = 0
+        self._anchor_n = 0    # n at the last anchor snapshot (see _reseed_anchors)
         self._packed_table: Optional[jax.Array] = None  # derived, not saved
         self._fat_pack: Optional[jax.Array] = None      # derived, not saved
 
@@ -464,6 +483,7 @@ class CagraIndex:
                 n=jnp.asarray(n, jnp.int32),
                 q_scale=jnp.asarray(q_scale, jnp.float32),
             )
+            self._anchor_n = n
             self._packed_table = None
             self._fat_pack = None
 
@@ -516,6 +536,11 @@ class CagraIndex:
             vb = np.zeros((bsz,), bool)
             vb[: hi - lo] = True
             st = _extend_batch(st, jnp.asarray(xb), jnp.asarray(vb), cfg)
+        n_now = int(st.n)
+        if n_now >= 2 * max(self._anchor_n, 1):
+            self._key, ksub = jax.random.split(self._key)
+            st = _reseed_anchors(st, n_now, ksub, cfg.n_anchors)
+            self._anchor_n = n_now
         self.state = st
         self._packed_table = None
         self._fat_pack = None
@@ -660,4 +685,5 @@ class CagraIndex:
                     n=jnp.asarray(z["n"]),
                     q_scale=jnp.asarray(z["q_scale"]),
                 )
+                idx._anchor_n = int(z["n"])
         return idx

@@ -465,6 +465,7 @@ class HNSW:
         self.state: Optional[HNSWState] = None
         self._pending: list[np.ndarray] = []   # host-side insert buffer
         self._n_inserted = 0                   # external ids handed out
+        self._anchor_n = 0                     # n at last anchor snapshot
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.RLock()
         if capacity:
@@ -531,6 +532,7 @@ class HNSW:
                     checkpoint_path=checkpoint_path,
                     checkpoint_every=checkpoint_every,
                 )
+            self._anchor_n = x.shape[0]
 
     @classmethod
     def resume_build(cls, checkpoint_path: str) -> "HNSW":
@@ -544,6 +546,7 @@ class HNSW:
         idx.capacity = capacity
         idx.levels_cap = levels_cap
         idx._n_inserted = int(state.n)
+        idx._anchor_n = int(state.n)
         return idx
 
     def flush(self) -> None:
@@ -563,6 +566,18 @@ class HNSW:
             self.state, self.capacity, self.levels_cap, x, self.cfg, sub,
             ext_id_start=base_ext,
         )
+        # Anchor refresh on growth: the seed table was sampled over the rows
+        # present at the last snapshot; once n doubles past it, beams on an
+        # ever-grown index would seed only from the original corpus region.
+        n_now = int(self.state.n)
+        if self._anchor_n == 0:
+            self._anchor_n = n_now   # first flush built from scratch
+        elif n_now >= 2 * self._anchor_n:
+            from .build import _attach_anchors
+
+            self._key, ksub = jax.random.split(self._key)
+            self.state = _attach_anchors(self.state, n_now, ksub)
+            self._anchor_n = n_now
 
     # -- search -----------------------------------------------------------
     def search(self, q, k: int, ef_search: Optional[int] = None):

@@ -122,29 +122,6 @@ def _update_centroids(x: jax.Array, assign: jax.Array, cent: jax.Array):
     return jnp.where(counts[:, None] > 0, new, cent)
 
 
-def kmeans(x: np.ndarray, n_clusters: int, iters: int, key: jax.Array,
-           sample: int = 131072) -> np.ndarray:
-    """Lloyd's k-means on device; returns centroids [C, D] f32 (host)."""
-    n = x.shape[0]
-    key1, key2 = jax.random.split(key)
-    if n > sample:
-        sel = np.asarray(jax.random.choice(key1, n, (sample,), replace=False))
-        xs = x[sel]
-    else:
-        xs = x
-    init_sel = np.asarray(
-        jax.random.choice(key2, xs.shape[0], (n_clusters,), replace=xs.shape[0] < n_clusters)
-    )
-    cent = jnp.asarray(xs[init_sel], jnp.float32)
-    xd = jnp.asarray(xs, jnp.float32)
-    xn = D.sq_norms(xd)
-    for _ in range(iters):
-        cn = D.sq_norms(cent)
-        a = _assign(xd, xn, cent, cn)
-        cent = _update_centroids(xd, a, cent)
-    return np.asarray(cent)
-
-
 # ---------------------------------------------------------------------------
 # device-side packing (one corpus upload; no host block assembly)
 

@@ -72,6 +72,7 @@ def load_hnsw(path: str):
         idx.levels_cap = meta["levels_cap"]
         idx._n_inserted = meta["n_inserted"]
         if "vectors" in z:
+            idx._anchor_n = int(z["n"])
             idx.state = HNSWState(
                 vectors=jnp.asarray(z["vectors"], cfg.storage_dtype),
                 norms=jnp.asarray(z["norms"]),

@@ -283,8 +283,9 @@ class ShardedHNSW:
 
         specs = jax.tree.map(lambda _: NamedSharding(self.mesh, P(SHARD_AXIS)),
                              old)
-        self.state = jax.jit(grow, donate_argnums=(0,),
-                             out_shardings=specs)(old)
+        # no donation: the old (smaller) buffers can never alias the grown
+        # outputs (shape mismatch -> "donated buffers were not usable")
+        self.state = jax.jit(grow, out_shardings=specs)(old)
         self.shard_cap = new_cap
         self._search_fn = None
 

@@ -60,6 +60,8 @@ class ShardedCagra:
         self._search_fn = None
         self._search_key = None
         self._step_fn = None
+        self._reseed_fn = None
+        self._anchor_n = 0   # max per-shard n at the last anchor snapshot
 
     def __len__(self) -> int:
         return self._n + sum(p.shape[0] for p in self._pending)
@@ -117,6 +119,7 @@ class ShardedCagra:
             lambda *leaves: jax.device_put(jnp.stack(leaves), sh), *shard_states
         )
         self.ext_ids = jax.device_put(jnp.asarray(ext), sh)
+        self._anchor_n = per
 
     # ------------------------------------------------------ incremental insert
     def insert(self, x) -> None:
@@ -208,7 +211,44 @@ class ShardedCagra:
             )
         self.state, self.ext_ids = state, ext_ids
         self._n = base + new.shape[0]
+        # Anchor refresh on growth (shape-stable: same anchor count, rows
+        # resampled over each shard's current [0, n) — grown shards would
+        # otherwise seed beams only from their build-time region).
+        n_after = int(np.asarray(jax.device_get(state.n)).max())
+        if state.anchors.shape[1] > 0 and n_after >= 2 * max(self._anchor_n, 1):
+            if self._reseed_fn is None:
+                self._reseed_fn = self._make_reseed()
+            self._key, sub = jax.random.split(self._key)
+            self.state = self._reseed_fn(self.state, sub)
+            self._anchor_n = n_after
         self._search_fn = None
+
+    def _make_reseed(self):
+        mesh = self.mesh
+
+        @jax.jit
+        def reseed(state, key):
+            specs = jax.tree.map(lambda _: P(SHARD_AXIS), state)
+
+            def local(st, key):
+                st1 = jax.tree.map(lambda a: a[0], st)
+                k = jax.random.fold_in(key, jax.lax.axis_index(SHARD_AXIS))
+                a = st1.a_rows.shape[0]
+                # with-replacement sample keeps the shape static; slight
+                # anchor duplication costs ~0 seed quality at a >= 1024
+                rows = jax.random.randint(
+                    k, (a,), 0, jnp.maximum(st1.n, 1), jnp.int32)
+                anchors = jnp.take(st1.vectors, rows, axis=0) \
+                    .astype(jnp.float32) * st1.q_scale
+                st1 = st1._replace(anchors=anchors,
+                                   a_norms=jnp.take(st1.norms, rows),
+                                   a_rows=rows)
+                return jax.tree.map(lambda x: x[None], st1)
+
+            return shard_map(local, mesh=mesh, in_specs=(specs, P()),
+                             out_specs=specs)(state, key)
+
+        return reseed
 
     def _grow(self, new_cap: int) -> None:
         bsz = min(self.cfg.build_batch, max(new_cap, 1))
@@ -236,8 +276,11 @@ class ShardedCagra:
 
         sh = self._sharding()
         out_shardings = (jax.tree.map(lambda _: sh, old), sh)
+        # no donation: old (smaller) buffers can never alias the grown outputs
+        # — donating them only produced "donated buffers were not usable"
+        # warnings; they are freed when `old` drops out of scope regardless
         self.state, self.ext_ids = jax.jit(
-            grow, donate_argnums=(0, 1), out_shardings=out_shardings)(old, old_ext)
+            grow, out_shardings=out_shardings)(old, old_ext)
         self.shard_cap = new_cap
         self._search_fn = None
 
@@ -339,6 +382,7 @@ class ShardedCagra:
                     for f in CagraState._fields
                 })
                 idx.ext_ids = jax.device_put(jnp.asarray(z["ext_ids"]), sh)
+                idx._anchor_n = int(np.asarray(z["n"]).max())
         return idx
 
 
