@@ -583,6 +583,7 @@ def bulk_build_oneshot(
     cfg: HNSWConfig,
     key: jax.Array,
     capacity: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> Tuple[HNSWState, int, int]:
     """One-shot bulk HNSW construction from dense matmuls — no beam loops.
 
@@ -594,7 +595,32 @@ def bulk_build_oneshot(
     beam while_loop) with pure MXU work; graph quality is equal or better
     (candidates come from several clusterings instead of one beam's view).
     Search-time behavior (hierarchy descent, ef beam) is unchanged.
+
+    checkpoint_path: snapshot the build once the base-layer graph (the
+    dominant cost) is done; resume_build_oneshot(path) reruns only the
+    cheap upper-layer/anchor/reorder epilogue. The epilogue replays the same
+    PRNG splits from the saved key, so resumed == direct build.
     """
+    return _oneshot_impl(x, cfg, key, capacity, checkpoint_path, resume=None)
+
+
+def resume_build_oneshot(path: str) -> Tuple[HNSWState, int, int, HNSWConfig]:
+    """Finish a crashed oneshot build from its base-layer checkpoint."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("kind") != "hnsw_oneshot":
+            raise ValueError(f"not a oneshot build checkpoint: {path}")
+        cfg = HNSWConfig(**meta["cfg"])
+        state, cap, levels_cap = _oneshot_impl(
+            z["corpus"], cfg, jnp.asarray(z["key"]), meta["capacity"], None,
+            resume=(z["lv"], z["nbrs"], z["dists"]),
+        )
+    return state, cap, levels_cap, cfg
+
+
+def _oneshot_impl(x, cfg, key, capacity, checkpoint_path, resume):
     from .knn_graph import build_knn_graph
 
     n = x.shape[0]
@@ -608,6 +634,8 @@ def bulk_build_oneshot(
 
     xs = np.asarray(x, np.float32)
     if cfg.metric == "cosine":
+        # idempotent, so re-running it on a resumed (already normalized)
+        # corpus is safe
         xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
     if cfg.dtype == "int8":
         amax = float(np.abs(xs).max()) if n else 1.0
@@ -616,8 +644,10 @@ def bulk_build_oneshot(
         )
 
     prec = cfg.precision if cfg.precision != "default" else "high"
+    key0 = key   # saved in the checkpoint; resume replays the same splits
     key, k_lv, k_base = jax.random.split(key, 3)
-    levels = sample_levels(k_lv, n, cfg.m, levels_cap, cfg.ml)
+    levels = resume[0] if resume is not None else \
+        sample_levels(k_lv, n, cfg.m, levels_cap, cfg.ml)
 
     # ---- ingest ---------------------------------------------------------
     xj_in = jnp.asarray(xs)
@@ -637,23 +667,38 @@ def bulk_build_oneshot(
     xn = D.sq_norms(xj) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
 
     # ---- base layer -------------------------------------------------------
-    # pass the DEVICE array (dequantized stored vectors): build_knn_graph
-    # would otherwise re-upload the corpus through the relay (~1 s / 50 MB)
-    nbrs, dists, *_ = build_knn_graph(
-        xj, cfg.base_degree, k_base, metric=cfg.metric,
-        alpha=cfg.alpha, precision=prec,
-        kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
-        block_topk=cfg.block_topk, kmeans_iters=cfg.build_kmeans_iters,
-    )
+    if resume is not None:
+        nbrs_n, dists_n = jnp.asarray(resume[1]), jnp.asarray(resume[2])
+    else:
+        # pass the DEVICE array (dequantized stored vectors): build_knn_graph
+        # would otherwise re-upload the corpus through the relay (~1 s / 50 MB)
+        nbrs, dists, *_ = build_knn_graph(
+            xj, cfg.base_degree, k_base, metric=cfg.metric,
+            alpha=cfg.alpha, precision=prec,
+            kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
+            block_topk=cfg.block_topk, kmeans_iters=cfg.build_kmeans_iters,
+        )
+        nbrs_n, dists_n = nbrs[:n], dists[:n]
     state = state._replace(
-        nbr0=state.nbr0.at[:n].set(nbrs[:n]),
-        dist0=state.dist0.at[:n].set(dists[:n]),
+        nbr0=state.nbr0.at[:n].set(nbrs_n),
+        dist0=state.dist0.at[:n].set(dists_n),
     )
+    if checkpoint_path and resume is None:
+        import dataclasses
+        import json
+
+        np.savez_compressed(
+            checkpoint_path,
+            meta=json.dumps(dict(kind="hnsw_oneshot",
+                                 cfg=dataclasses.asdict(cfg), capacity=cap)),
+            corpus=xs, lv=np.asarray(levels), key=np.asarray(key0),
+            nbrs=np.asarray(nbrs_n), dists=np.asarray(dists_n),
+        )
 
     # ---- upper layers -----------------------------------------------------
     with jax.default_matmul_precision(prec):
         for ell in range(1, levels_cap + 1):
-            rows = np.nonzero(levels >= ell)[0]
+            rows = np.nonzero(np.asarray(levels) >= ell)[0]
             if rows.size < 2:
                 break
             key, sub = jax.random.split(key)
@@ -666,6 +711,7 @@ def bulk_build_oneshot(
                 distU=state.distU.at[ell - 1, rows_j].set(gd),
             )
 
+    levels = np.asarray(levels)
     entry = int(np.argmax(levels))
     state = state._replace(
         entry=jnp.asarray(entry, jnp.int32),

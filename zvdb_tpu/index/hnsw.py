@@ -510,9 +510,12 @@ class HNSW:
               checkpoint_every: int = 0) -> None:
         """Bulk-build the index from a corpus [N, D] (replaces current contents).
 
-        checkpoint_path + checkpoint_every=K: snapshot the partial graph every
-        K batches; recover with HNSW.resume_build(path) after a crash (forces
-        the batched build path — the oneshot build has no mid-build state)."""
+        checkpoint_path: crash recovery via HNSW.resume_build(path).
+        * batched path (build_mode="batched", or "auto" with a checkpoint):
+          snapshots the partial graph every checkpoint_every batches.
+        * oneshot path (build_mode="oneshot"): snapshots once after the
+          base-layer graph — the dominant cost — and resume reruns only the
+          upper-layer/anchor epilogue."""
         from .build import bulk_build, bulk_build_oneshot  # local: avoid cycle
 
         x = np.asarray(x, dtype=np.float32)
@@ -524,7 +527,7 @@ class HNSW:
             self._key, sub = jax.random.split(self._key)
             if oneshot:
                 self.state, self.capacity, self.levels_cap = bulk_build_oneshot(
-                    x, self.cfg, sub,
+                    x, self.cfg, sub, checkpoint_path=checkpoint_path,
                 )
             else:
                 self.state, self.capacity, self.levels_cap = bulk_build(
@@ -537,10 +540,18 @@ class HNSW:
     @classmethod
     def resume_build(cls, checkpoint_path: str) -> "HNSW":
         """Finish a bulk build from a crash checkpoint (SURVEY.md §5: the
-        reference has no failure recovery)."""
-        from .build import resume_build
+        reference has no failure recovery). Dispatches on the checkpoint kind
+        (batched per-K-batches snapshot vs oneshot base-layer snapshot)."""
+        import json
 
-        state, capacity, levels_cap, cfg = resume_build(checkpoint_path)
+        from .build import resume_build, resume_build_oneshot
+
+        with np.load(checkpoint_path, allow_pickle=False) as z:
+            kind = json.loads(str(z["meta"])).get("kind")
+        if kind == "hnsw_oneshot":
+            state, capacity, levels_cap, cfg = resume_build_oneshot(checkpoint_path)
+        else:
+            state, capacity, levels_cap, cfg = resume_build(checkpoint_path)
         idx = cls(cfg)
         idx.state = state
         idx.capacity = capacity

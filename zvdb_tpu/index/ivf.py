@@ -597,12 +597,22 @@ class IVFIndex:
             return n + sum(p.shape[0] for p in self._pending)
 
     # -- build ------------------------------------------------------------
-    def build(self, x) -> None:
+    def build(self, x, checkpoint_path: Optional[str] = None) -> None:
         """Device-centric bulk build: ONE corpus upload, k-means + assignment
         + block packing all on device; the host handles only the int32
         cluster/slot bookkeeping (round-1 assembled blocks on the host and
         re-shipped them through the relay — 2x the transfer volume and the
-        bulk of the 6k pts/s build time)."""
+        bulk of the 6k pts/s build time).
+
+        checkpoint_path: snapshot the BUILD PLAN (centroids + the
+        order/cluster/slot packing triples + the corpus) once the expensive,
+        randomized phases (k-means, assignment, oversized-cluster split) have
+        finished; recover with IVFIndex.resume_build(path) after a crash.
+        The remaining pack phase is a deterministic function of the plan, so
+        a resumed index is bit-identical to the uninterrupted build. The
+        reference has no failure recovery at all (SURVEY.md §5); the DEEP-10M
+        build is minutes long, dominated by exactly the phases the plan
+        captures."""
         from .knn_graph import _kmeans_device
 
         x = np.asarray(x, np.float32)
@@ -637,13 +647,51 @@ class IVFIndex:
             first = np.searchsorted(sa, np.arange(len(cent_np)), side="left")
             slot = (np.arange(n) - first[sa]).astype(np.int32)
             rcap = max(1024, -(-n // 1024) * 1024 + 1024) if cfg.rerank else 0
-            self.state = _pack_device(
-                xd, jnp.asarray(cent_np, jnp.float32), jnp.asarray(order),
-                jnp.asarray(sa), jnp.asarray(slot),
-                c=len(cent_np), cap=cap, dtype_name=cfg.dtype,
-                metric=cfg.metric, rerank=cfg.rerank,
-                rerank_dtype=cfg.rerank_dtype, rcap=rcap,
+            if checkpoint_path:
+                import dataclasses
+                import json
+
+                np.savez_compressed(
+                    checkpoint_path,
+                    meta=json.dumps(dict(kind="ivf_plan",
+                                         cfg=dataclasses.asdict(cfg),
+                                         cap=cap, rcap=rcap)),
+                    corpus=x, cent=cent_np.astype(np.float32),
+                    order=order, sa=sa, slot=slot,
+                )
+            self.state = self._pack_from_plan(xd, cent_np, order, sa, slot,
+                                              cap, rcap)
+
+    def _pack_from_plan(self, xd, cent_np, order, sa, slot, cap: int,
+                        rcap: int) -> IVFState:
+        cfg = self.cfg
+        return _pack_device(
+            xd, jnp.asarray(cent_np, jnp.float32), jnp.asarray(order),
+            jnp.asarray(sa), jnp.asarray(slot),
+            c=len(cent_np), cap=cap, dtype_name=cfg.dtype,
+            metric=cfg.metric, rerank=cfg.rerank,
+            rerank_dtype=cfg.rerank_dtype, rcap=rcap,
+        )
+
+    @classmethod
+    def resume_build(cls, checkpoint_path: str) -> "IVFIndex":
+        """Finish a crashed bulk build from its plan checkpoint. The pack is
+        deterministic given the plan, so the result equals the direct build."""
+        import json
+
+        with np.load(checkpoint_path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("kind") != "ivf_plan":
+                raise ValueError(f"not an IVF build checkpoint: {checkpoint_path}")
+            cfg = IVFConfig(**meta["cfg"])
+            idx = cls(cfg)
+            x = z["corpus"]
+            idx._n_inserted = x.shape[0]
+            idx.state = idx._pack_from_plan(
+                jnp.asarray(x, jnp.float32), z["cent"], z["order"], z["sa"],
+                z["slot"], meta["cap"], meta["rcap"],
             )
+        return idx
 
     def _occupancy_cap(self, assign: np.ndarray, c: int) -> int:
         """Block capacity from MEASURED occupancy: headroom * largest cluster.
