@@ -157,14 +157,15 @@ def _reverse_pass(
     d = fwd_d.reshape(p)
     valid = tgt >= 0
     key = jnp.where(valid, tgt, jnp.int32(2**30))
-    # Sort by (target, distance): the per-target window below keeps only the
-    # first rev_window sources of each run, so runs must be nearest-first —
-    # a hub receiving more than rev_window same-target edges would otherwise
-    # keep arbitrary (batch-order) members instead of the best ones. Two
-    # stable argsorts = lexsort; the extra distance pass costs one lax.sort
-    # over P scalars (~ms at bulk sizes).
-    order_d = jnp.argsort(d, stable=True)
-    order = order_d[jnp.argsort(key[order_d], stable=True)]
+    # Deliberately sorted by target ONLY (stable, batch order within a run):
+    # when a hub receives more than rev_window same-target edges, the window
+    # keeps the first rev_window in batch order. A (target, distance) lexsort
+    # that keeps the NEAREST sources instead was measured WORSE (-1.5pt
+    # self-hit@ef48, 4k x 16d clustered, round 3): nearest reverse sources
+    # are intra-cluster and cost edge diversity; arbitrary batch order keeps
+    # more directions. The <= rev_window cap itself (16) is a documented
+    # approximation for degree > 16 rows.
+    order = jnp.argsort(key, stable=True)
     st = tgt[order]
     ss = src[order]
     sd = d[order]
@@ -211,6 +212,87 @@ def _reverse_pass(
         nbr_table.at[write_at].set(new_rows),
         dist_table.at[write_at].set(new_d),
     )
+
+
+def _reverse_pass_bulk(
+    nbr_table: jax.Array,   # [cap+1, degree] adjacency (forward edges set)
+    dist_table: jax.Array,  # [cap+1, degree] true edge distances
+    n_rows: int,            # static: forward edges come from rows [0, n)
+    degree: int,
+    rev_window: int = 0,    # 0 -> degree
+):
+    """Whole-graph reverse pass: one shot over every forward edge.
+
+    The per-batch `_reverse_pass` computes a merged candidate row at EVERY
+    one of P = n*degree edge positions and lets only each target's first
+    occurrence write — at bulk sizes that is a degree-fold redundancy (the
+    [P, W] shifted windows + [P, degree+W] merge sort dominated the round-2
+    build at 0.8 s for 100k x degree 32). Here the merge happens once per
+    TARGET row instead:
+
+      1. sort the P (target, dist, src) triples by (target, dist) — one
+         multi-operand lax.sort, no gathers;
+      2. scatter each target's first position into a [cap] table;
+      3. gather each target's nearest <= W reverse sources with a [cap, W]
+         position gather (W*cap scalar rows, ~degree-fold fewer than [P, W]);
+      4. merge + id-dedupe against the existing rows with one [cap, deg+W]
+         sort_smallest_k and write back densely (no scatter).
+
+    Window default matches the batched pass (min(degree, 16), batch order):
+    wider windows feed the distance merge more nearest-source candidates and
+    were measured to cost edge diversity (see _reverse_pass note).
+    Returns (nbr_table, dist_table)."""
+    cap1 = nbr_table.shape[0]
+    w = rev_window if rev_window > 0 else max(1, min(degree, 16))
+    fwd = nbr_table[:n_rows]
+    fwd_d = dist_table[:n_rows]
+    p = n_rows * degree
+
+    tgt = fwd.reshape(p)
+    src = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, degree)
+    ).reshape(p)
+    d = fwd_d.reshape(p)
+    valid = tgt >= 0
+    key = jnp.where(valid, tgt, jnp.int32(2**30))
+    # target-only STABLE sort: within a target's run, edges stay in row-major
+    # (src, slot) order — same window membership as the batched pass; a
+    # (target, distance) sort was measured worse (see _reverse_pass: nearest
+    # reverse sources are intra-cluster and cost edge diversity)
+    st, sd, ss = jax.lax.sort((key, jnp.where(valid, d, INF), src),
+                              num_keys=1, is_stable=True)
+
+    prev = jnp.concatenate([jnp.full((1,), -2, st.dtype), st[:-1]])
+    first = (st != prev) & (st < jnp.int32(2**30))
+    # first occurrence position of each target (p = "no reverse edges")
+    pos0 = jnp.full((cap1,), p, jnp.int32).at[
+        jnp.where(first, st, cap1 - 1)
+    ].set(jnp.arange(p, dtype=jnp.int32), mode="drop")
+    # the trash row may have been overwritten by a real first (target cap-1
+    # is cap1-1... no: targets are < cap. Guard: recompute row cap1-1 as
+    # no-op is fine because write below covers all rows identically.)
+
+    idx = jnp.minimum(pos0[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :],
+                      p - 1)                                     # [cap1, W]
+    has = pos0 < p
+    rev_t = jnp.take(st, idx)                                    # [cap1, W]
+    same = has[:, None] & (rev_t == jnp.arange(cap1, dtype=jnp.int32)[:, None])
+    rev = jnp.where(same, jnp.take(ss, idx), -1)
+    rev_d = jnp.where(same, jnp.take(sd, idx), INF)
+
+    cand = jnp.concatenate([nbr_table, rev], axis=-1)            # [cap1, deg+W]
+    cand_d = jnp.concatenate([dist_table, rev_d], axis=-1)
+    cand_d = jnp.where(cand >= 0, cand_d, INF)
+    new_d, new_rows = T.sort_smallest_k(cand_d, cand, degree, dedupe=True)
+    # rows without reverse edges merge against all-invalid candidates: the
+    # result is the row itself (distance-sorted) — safe to write densely
+    return new_rows, new_d
+
+
+_reverse_pass_bulk_jit = functools.partial(
+    jax.jit, static_argnames=("n_rows", "degree", "rev_window"),
+    donate_argnums=(0, 1),
+)(_reverse_pass_bulk)
 
 
 # ---------------------------------------------------------------------------

@@ -253,6 +253,104 @@ def build_knn_graph(
     x must already be metric-preprocessed (cosine: normalized). All distances
     are surrogate-consistent: squared-L2 for l2, -dot for dot/cosine.
     """
+    ctx = jax.default_matmul_precision(precision) if precision != "default" \
+        else _nullcontext()
+    gen = _build_steps(
+        x, degree, key, metric=metric, block=block, spill=spill, passes=passes,
+        kmeans_iters=kmeans_iters, alpha=alpha, reverse=reverse,
+        balance_slack=balance_slack, prune_chunk=prune_chunk,
+        reverse_chunk=reverse_chunk, reps=reps, n_long=n_long,
+        kc_per_view=kc_per_view, prune_cap=prune_cap, block_topk=block_topk,
+        chain=chain, kmeans_sample=kmeans_sample,
+    )
+    with ctx:
+        try:
+            req = next(gen)
+            while True:
+                req = gen.send(tuple(np.asarray(a) for a in req))
+        except StopIteration as e:
+            return e.value
+
+
+def build_knn_graph_multi(
+    xs,  # list of per-shard corpora (np or device arrays)
+    degree: int,
+    keys,  # list of PRNG keys, one per shard
+    devices=None,  # optional list of jax devices, one per shard
+    precision: str = "high",
+    **kw,
+):
+    """Phase-interleaved multi-shard graph build.
+
+    Drives one _build_steps generator per shard, advancing ALL shards through
+    each device phase before pulling any shard's host-sync arrays: every
+    shard's k-means/assignment/block-kNN work is dispatched (on its own
+    device when `devices` is given) before the host blocks on the first
+    pull, so device phases overlap across shards and the host bookkeeping of
+    shard i overlaps the device work of the others. On a real multi-chip mesh
+    this makes the bulk build ~S-way parallel; on the single-core CI host the
+    virtual CPU devices share one core and the orchestration is throughput-
+    neutral (docs/PERF.md "sharded build" note).
+
+    Returns a list of per-shard (nbrs, dists, centroids, c_norms, c_rows).
+    """
+    ctx = jax.default_matmul_precision(precision) if precision != "default" \
+        else _nullcontext()
+    s = len(xs)
+    devices = devices if devices is not None else [None] * s
+    results: list = [None] * s
+    with ctx:
+        gens = []
+        for x, key, dev in zip(xs, keys, devices):
+            xj = jnp.asarray(x, jnp.float32)
+            if dev is not None:
+                xj = jax.device_put(xj, dev)
+            gens.append(_build_steps(xj, degree, key, **kw))
+        # advance every generator to its next sync point, then satisfy the
+        # pulls in order (while the host blocks on shard 0's pull, the other
+        # shards' dispatched work proceeds)
+        pending = [(i, None) for i in range(s)]
+        while pending:
+            reqs = []
+            for i, send_val in pending:
+                try:
+                    req = next(gens[i]) if send_val is None \
+                        else gens[i].send(send_val)
+                    reqs.append((i, req))
+                except StopIteration as e:
+                    results[i] = e.value
+            pending = [
+                (i, tuple(np.asarray(a) for a in req)) for i, req in reqs
+            ]
+    return results
+
+
+def _build_steps(
+    x,
+    degree: int,
+    key: jax.Array,
+    metric: str = "l2",
+    block: int = 1024,
+    spill: int = 2,
+    passes: int = 2,
+    kmeans_iters: int = 5,
+    alpha: float = 1.2,
+    reverse: bool = True,
+    balance_slack: float = 1.6,
+    prune_chunk: int = 8192,
+    reverse_chunk: int = 131072,
+    reps: int = 4,
+    n_long: int = 4,
+    kc_per_view: int = 0,
+    prune_cap: int = 0,
+    block_topk: str = "exact",
+    chain: bool = True,
+    kmeans_sample: int = 65536,
+):
+    """Generator form of the graph build: yields tuples of device arrays at
+    each host-sync point and expects the pulled numpy values back via send().
+    Matmul precision context is the DRIVER's responsibility (a `with` block
+    suspended across yields would leak into interleaved shards)."""
     from .build import _reverse_pass  # local import avoids a cycle
 
     trace = os.environ.get("ZVDB_BUILD_TRACE", "") not in ("", "0")
@@ -268,9 +366,7 @@ def build_knn_graph(
     xj = jnp.asarray(x, jnp.float32)
     xn = D.sq_norms(xj) if metric == "l2" else jnp.zeros((n,), jnp.float32)
 
-    ctx = jax.default_matmul_precision(precision) if precision != "default" \
-        else _nullcontext()
-    with ctx:
+    if True:
         if n <= max(degree + 1, 32):
             return _tiny_graph(xj, xn, n, degree, metric)
 
@@ -289,7 +385,10 @@ def build_knn_graph(
             mark(f"p{p}:kmeans", centj)
             cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
             assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
-            assign_np = np.asarray(assign)
+            # host-sync point: the pack below needs the assignment on the
+            # host. Yield so a multi-shard driver can dispatch other shards'
+            # device work before blocking on this pull.
+            assign_np, s0n = yield (assign, s0)
             mark(f"p{p}:assign+pull")
             if assign_np.shape[1] < spill:   # c < spill: replicate
                 assign_np = np.pad(assign_np,
@@ -323,7 +422,7 @@ def build_knn_graph(
                 # Evenly spaced distance bands tend to hit different natural
                 # subclusters when the k-means cluster straddles several.
                 a0 = assign_np[:, 0]
-                s0n = np.asarray(s0)
+                # s0n was pulled alongside the assignment at the yield
                 order = np.lexsort((s0n, a0))
                 sa0 = a0[order]
                 starts = np.searchsorted(sa0, np.arange(c), side="left")
@@ -381,16 +480,27 @@ def build_knn_graph(
 
         # ---- reverse edges --------------------------------------------------
         if reverse:
-            rev_fn = jax.jit(
-                functools.partial(_reverse_pass, degree=degree),
-            )
-            rc = min(reverse_chunk, n)
-            for lo in range(0, n, rc):
-                lo = min(lo, n - rc)   # final chunk re-covers the tail
-                rows = jnp.arange(lo, lo + rc, dtype=jnp.int32)
-                fwd = jax.lax.dynamic_slice(nbrs, (lo, 0), (rc, degree))
-                fwd_d = jax.lax.dynamic_slice(dists, (lo, 0), (rc, degree))
-                nbrs, dists = rev_fn(nbrs, dists, rows, fwd, fwd_d)
+            if n * degree <= (1 << 25) and not os.environ.get("ZVDB_OLD_REVERSE"):
+                # one-shot per-TARGET formulation: ~degree-fold less work
+                # than the per-edge-position batched pass (round-2's 0.8 s
+                # reverse at 100k x deg 32). Edge-list memory is O(n*degree),
+                # so gate on P <= 32M edges and fall back to chunking above
+                # that (10M-scale graphs).
+                from .build import _reverse_pass_bulk_jit
+
+                nbrs, dists = _reverse_pass_bulk_jit(
+                    nbrs, dists, n_rows=n, degree=degree)
+            else:
+                rev_fn = jax.jit(
+                    functools.partial(_reverse_pass, degree=degree),
+                )
+                rc = min(reverse_chunk, n)
+                for lo in range(0, n, rc):
+                    lo = min(lo, n - rc)   # final chunk re-covers the tail
+                    rows = jnp.arange(lo, lo + rc, dtype=jnp.int32)
+                    fwd = jax.lax.dynamic_slice(nbrs, (lo, 0), (rc, degree))
+                    fwd_d = jax.lax.dynamic_slice(dists, (lo, 0), (rc, degree))
+                    nbrs, dists = rev_fn(nbrs, dists, rows, fwd, fwd_d)
             mark("reverse", nbrs)
 
         # ---- chain edges (see above; slot before the long-range block) ------

@@ -32,9 +32,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.cagra import (
-    CagraConfig, CagraIndex, CagraState, _extend_batch_impl, cagra_search_impl,
-    _SearchArrays,
+    CagraConfig, CagraState, _extend_batch_impl, _pick_anchor_rows,
+    cagra_search_impl, _SearchArrays,
 )
+from ..index.knn_graph import build_knn_graph_multi
+from ..ops import distance as D
 from ..ops import topk as T
 from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 from .sharded import shard_map
@@ -75,44 +77,73 @@ class ShardedCagra:
 
     # ------------------------------------------------------------------ build
     def build(self, x) -> None:
-        """Contiguous split across shards; per-shard all-MXU graph build."""
+        """Contiguous split across shards; per-shard all-MXU graph builds run
+        PHASE-INTERLEAVED (knn_graph.build_knn_graph_multi): every shard's
+        k-means/assignment/block-kNN work is dispatched — on its own mesh
+        device on a real multi-chip backend — before the host blocks on any
+        shard's assignment pull, so device phases overlap across shards and
+        the host packing of shard i overlaps the device work of the rest.
+        On the single-core CI host the virtual devices share one core, so the
+        interleaving is throughput-neutral there (docs/PERF.md)."""
         x = np.asarray(x, np.float32)
         n = x.shape[0]
+        cfg = self.cfg
         s = self.n_shards
         per = -(-n // s) if n else 1
-        bsz = min(self.cfg.build_batch, max(per, 1))
+        bsz = min(cfg.build_batch, max(per, 1))
         cap = -(-per // bsz) * bsz
         self.shard_cap = cap
         self._n = n
         self._pending = []
         self._search_fn = None
+        if cfg.metric == "cosine" and n:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+        lohi = [(si * per, min((si + 1) * per, n)) for si in range(s)]
+        live = [si for si in range(s) if lohi[si][1] - lohi[si][0] > 0]
+        keys = {si: jax.random.split(jax.random.PRNGKey(cfg.seed + si), 2)
+                for si in live}
+        # per-shard device placement parallelizes builds on a real mesh;
+        # skipped on CPU, where it would only multiply per-device compiles
+        place = jax.default_backend() != "cpu"
+        dev_of = {si: (self.mesh.devices[0, si] if place else None)
+                  for si in range(s)}
+        g_out = build_knn_graph_multi(
+            [x[lohi[si][0]:lohi[si][1]] for si in live],
+            cfg.degree, [keys[si][0] for si in live],
+            devices=[dev_of[si] for si in live],
+            precision=cfg.precision, metric=cfg.metric, block=cfg.block,
+            spill=cfg.spill, passes=cfg.passes,
+            kmeans_iters=cfg.kmeans_iters, alpha=cfg.alpha,
+            reps=cfg.seed_reps, n_long=cfg.n_long,
+            kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
+            block_topk=cfg.block_topk, kmeans_sample=cfg.kmeans_sample,
+        )
 
         shard_states = []
         ext = np.full((s, cap), -1, np.int32)
         a_count = None
+        gi = 0
         for si in range(s):
-            lo, hi = si * per, min((si + 1) * per, n)
+            lo, hi = lohi[si]
             cnt = max(hi - lo, 0)
             if cnt == 0:
-                # tail shards of a small corpus (n < s*per) receive no points;
-                # CagraIndex.build on an empty slice has no graph to make
-                # (top_k over a [0, 0] score matrix raises) — allocate the
-                # empty grown state directly. Anchors pad to a_count below.
-                st = _empty_cagra_state(self.cfg, cap)
+                # tail shards of a small corpus (n < s*per) receive no points
+                # — allocate the empty grown state directly; anchors pad to
+                # a_count below
+                st = _empty_cagra_state(cfg, cap)
             else:
-                sub = CagraIndex(
-                    dataclasses.replace(self.cfg, seed=self.cfg.seed + si))
-                sub.build(x[lo:hi])
-                if sub.capacity < cap:
-                    sub._grow(cap)
-                st = sub.state
+                nbrs, dists, *_ = g_out[gi]
+                gi += 1
+                st = _shard_state(cfg, x[lo:hi], nbrs, dists, cap,
+                                  keys[si][1], dev_of[si])
+                ext[si, :cnt] = np.arange(lo, hi, dtype=np.int32)
             if a_count is None:
                 a_count = st.anchors.shape[0]
             elif st.anchors.shape[0] != a_count:
                 # pad/trim anchor tables to a uniform stacked shape
                 st = _pad_anchors(st, a_count)
             shard_states.append(st)
-            ext[si, :cnt] = np.arange(lo, hi, dtype=np.int32)
 
         sh = self._sharding()
         self.state = jax.tree.map(
@@ -387,6 +418,39 @@ class ShardedCagra:
                 idx.ext_ids = jax.device_put(jnp.asarray(z["ext_ids"]), sh)
                 idx._anchor_n = int(np.asarray(z["n"]).max())
         return idx
+
+
+def _shard_state(cfg: CagraConfig, xs: np.ndarray, nbrs, dists, cap: int,
+                 akey, device=None) -> CagraState:
+    """Assemble one shard's CagraState at capacity `cap` from its built graph
+    (mirrors CagraIndex.build's ingest + anchor epilogue, without the
+    intermediate n-capacity allocation + grow copy)."""
+    cnt = xs.shape[0]
+    xj = jnp.asarray(xs, jnp.float32)
+    if device is not None:
+        xj = jax.device_put(xj, device)
+    q_scale = 1.0
+    if cfg.dtype == "int8":
+        q_scale = max(float(np.abs(xs).max()) if cnt else 1.0, 1e-12) / 127.0
+        stored, norms = D.quantize_corpus_global(
+            xj, cfg.metric, jnp.asarray(q_scale, jnp.float32))
+    else:
+        stored, norms = D.preprocess_corpus(xj, cfg.metric, cfg.storage_dtype)
+    a_rows = _pick_anchor_rows(akey, cnt, cfg.n_anchors)
+    anchors = jnp.take(stored, a_rows, axis=0).astype(jnp.float32) * q_scale
+    a_norms = jnp.take(norms, a_rows) if cfg.metric == "l2" \
+        else jnp.zeros((a_rows.shape[0],), jnp.float32)
+    d, deg = cfg.dim, cfg.degree
+    return CagraState(
+        vectors=jnp.zeros((cap, d), cfg.storage_dtype).at[:cnt].set(stored),
+        norms=jnp.zeros((cap,), jnp.float32).at[:cnt].set(norms),
+        nbrs=jnp.full((cap + 1, deg), -1, jnp.int32).at[:cnt].set(nbrs[:cnt]),
+        dists=jnp.full((cap + 1, deg), jnp.inf, jnp.float32)
+        .at[:cnt].set(dists[:cnt]),
+        anchors=anchors, a_norms=a_norms, a_rows=a_rows,
+        n=jnp.asarray(cnt, jnp.int32),
+        q_scale=jnp.asarray(q_scale, jnp.float32),
+    )
 
 
 def _empty_cagra_state(cfg: CagraConfig, cap: int) -> CagraState:
