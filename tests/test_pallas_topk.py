@@ -170,3 +170,31 @@ def test_sort_smallest_k_matches_topk():
     rs, ri = smallest_k(jnp.asarray(s), jnp.asarray(ids), 16)
     np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
     np.testing.assert_allclose(np.asarray(bs), np.asarray(rs))
+
+
+def test_flat_engine_pallas_rerank_path():
+    """bf16 in-kernel scan + exact f32 rerank (round-3, VERDICT #5): the
+    FlatIndex pallas path with rerank set scans at scan_precision and
+    rescored candidates must beat the raw bf16 ranking."""
+    from zvdb_tpu import FlatConfig, FlatIndex
+    from zvdb_tpu.bench.harness import ground_truth_host, recall_at_k
+
+    rng = np.random.default_rng(5)
+    nc, n, d, b, k = 40, 3000, 32, 64, 10
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    x = (centers[rng.integers(0, nc, n)]
+         + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (x[rng.integers(0, n, b)]
+         + 0.05 * rng.standard_normal((b, d))).astype(np.float32)
+    _, gt = ground_truth_host(x, q, k, "l2")
+
+    idx = FlatIndex(FlatConfig(dim=d, scan="pallas", rerank=4,
+                               l_bins=256, pallas_chunk=512, pallas_bq=64),
+                    capacity=n)
+    idx.add(x)
+    s, ids = idx.search(q, k, approx=True)
+    rec = recall_at_k(np.asarray(ids), gt, k)
+    assert rec >= 0.95, rec
+    # scores are exact f32 (rescored), not bf16 scan values
+    d0 = ((q[0] - x[np.asarray(ids)[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(np.asarray(s)[0, 0], d0, rtol=1e-4)

@@ -171,6 +171,47 @@ def _search_rerank(
     return out, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "l_bins", "bq_tile", "chunk",
+                     "scan_precision", "rerank", "interpret"),
+)
+def _search_pallas_rerank(
+    state: FlatState, q: jax.Array, k: int, metric: str, l_bins: int,
+    bq_tile: int, chunk: int, scan_precision: str, rerank: int,
+    interpret: bool,
+):
+    """Two-pass fused path: bf16 IN-KERNEL Pallas scan + exact f32 rerank.
+
+    The kernel scores at `scan_precision` ("default" = single-pass bf16, 3x
+    the bf16x3 MXU rate) and keeps rerank*k bin winners; the exact rescore
+    (one B * rerank*k row gather) repairs the bf16 ranking noise — the same
+    two-pass structure as the XLA `_search_rerank`, with the scan's HBM
+    round-trip of [B, tile] score blocks fused away (float dtypes only;
+    int8 falls back to the XLA path in search())."""
+    from ..ops.pallas_topk import flat_scan_topk
+
+    qs = D.preprocess_queries(q, metric)
+    kk = max(k * rerank, k)
+    s1, i1 = flat_scan_topk(
+        qs, state.vectors, state.norms, kk, l_bins=l_bins, bq_tile=bq_tile,
+        chunk=chunk, metric=metric, precision=scan_precision,
+        interpret=interpret,
+    )
+    safe = jnp.maximum(i1, 0)
+    rv = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)
+    rn = jnp.take(state.norms, safe, axis=0)
+    dots = jnp.einsum("bd,bcd->bc", qs, rv,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    ex = rn - 2.0 * dots if metric == "l2" else rn - dots
+    ex = jnp.where(i1 >= 0, ex, jnp.inf)
+    best_s, best_i = T.smallest_k(ex, i1, k)
+    out = D.finalize_scores(best_s, qs, metric)
+    out = jnp.where(best_i >= 0, out, jnp.inf if metric == "l2" else -jnp.inf)
+    return out, best_i
+
+
 class FlatIndex:
     """Exact kNN index. API mirrors the reference HNSW surface
     (init/insert/search — reference src/hnsw.zig:52,73,194) with batching."""
@@ -247,17 +288,24 @@ class FlatIndex:
     def _search_pallas(self, q: jax.Array, k: int):
         """Fused Pallas scan (ops/pallas_topk.py): same contract as _search's
         approx path — exact MXU scoring, bin-parallel partial selection.
+        With cfg.rerank: bf16 in-kernel scan + exact f32 rerank (two-pass).
         Runs interpreted off-TPU (Mosaic only targets the TPU backend)."""
         from ..ops.pallas_topk import flat_scan_topk
 
         cfg = self.cfg
+        interp = jax.default_backend() != "tpu"
+        if cfg.rerank:
+            return _search_pallas_rerank(
+                self.state, q, k, cfg.metric, cfg.l_bins, cfg.pallas_bq,
+                cfg.pallas_chunk, cfg.scan_precision, cfg.rerank, interp,
+            )
         qs = D.preprocess_queries(q, cfg.metric)
         s, i = flat_scan_topk(
             qs, self.state.vectors, self.state.norms, k,
             l_bins=cfg.l_bins, bq_tile=cfg.pallas_bq, chunk=cfg.pallas_chunk,
             metric=cfg.metric,
             precision=cfg.precision if cfg.precision != "highest" else "highest",
-            interpret=jax.default_backend() != "tpu",
+            interpret=interp,
         )
         out = D.finalize_scores(s, qs, cfg.metric)
         out = jnp.where(i >= 0, out, jnp.inf if cfg.metric == "l2" else -jnp.inf)
@@ -285,6 +333,9 @@ class FlatIndex:
         if self.state is None:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
+            # handles cfg.rerank internally (bf16 in-kernel scan + rerank)
+            s, i = self._search_pallas(q, k)
         elif approx and self.cfg.rerank:
             s, i = _search_rerank(
                 self.state, q, k, self.cfg.metric, self.cfg.tile_n,
@@ -292,8 +343,6 @@ class FlatIndex:
                 scan_precision=self.cfg.scan_precision,
                 rerank=self.cfg.rerank,
             )
-        elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
-            s, i = self._search_pallas(q, k)
         else:
             s, i = _search(
                 self.state, q, k, self.cfg.metric, self.cfg.tile_n,
