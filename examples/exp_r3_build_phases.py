@@ -157,7 +157,7 @@ def main():
                 cand_s, cand_i = _block_knn_scatter(
                     xj, xn, jnp.asarray(bp), jnp.asarray(bo),
                     jnp.asarray(0, jnp.int32), cand_s, cand_i, kc, "l2",
-                    approx=approx,
+                    sel="approx" if approx else "exact",
                 )
         jax.block_until_ready(cand_s)
         return time.perf_counter() - t0

@@ -175,3 +175,20 @@ def test_hnsw_oneshot_deterministic(rng):
     b.build(x)
     np.testing.assert_array_equal(np.asarray(a.state.nbr0), np.asarray(b.state.nbr0))
     np.testing.assert_array_equal(np.asarray(a.state.levels), np.asarray(b.state.levels))
+
+
+def test_segmented_upload_overlap_build(rng, monkeypatch):
+    """The upload-overlap build (segmented device_put + pass-0 clustering on
+    the landed prefix) must match the single-upload path's quality.
+    Exercised by shrinking the size gate (real gate: 64k rows)."""
+    import zvdb_tpu.index.cagra as C
+
+    monkeypatch.setattr(C, "_OVERLAP_MIN_N", 1000)
+    nc, n, d = 50, 6000, 16
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    x = (centers[rng.integers(0, nc, n)]
+         + 0.12 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = CagraIndex(CagraConfig(dim=d, degree=16))
+    idx.build(x[:5997])   # odd n exercises the tail segment
+    ids = np.asarray(idx.search(x[:512], 1, ef_search=24)[1])
+    assert (ids[:, 0] == np.arange(512)).mean() >= 0.9

@@ -46,6 +46,10 @@ from .knn_graph import VecStore, build_knn_graph
 
 INF = jnp.inf
 
+# host corpora at least this large build through the segmented upload-overlap
+# path (tests shrink it to exercise the path on small CPU corpora)
+_OVERLAP_MIN_N = 1 << 16
+
 
 @dataclasses.dataclass(frozen=True)
 class CagraConfig:
@@ -439,30 +443,59 @@ class CagraIndex:
 
     # -- build --------------------------------------------------------------
     def build(self, x) -> None:
-        """Bulk-build from corpus [N, D] (replaces contents)."""
+        """Bulk-build from corpus [N, D] (replaces contents).
+
+        Accepts a host array (one upload through the relay, ~40 MB/s
+        measured) or a DEVICE-RESIDENT jax array (no transfer at all —
+        serving/ingest pipelines that already hold the corpus on device
+        build straight from it, the same convention as device-staged query
+        batches)."""
         cfg = self.cfg
-        x = np.asarray(x, np.float32)
+        on_device = isinstance(x, jax.Array)
+        if not on_device:
+            x = np.asarray(x, np.float32)
         n = x.shape[0]
         with self._lock:
             self._pending = []
             self._n_inserted = n
             if cfg.metric == "cosine" and n:
-                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                if on_device:
+                    x = x / jnp.maximum(
+                        jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                else:
+                    x = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             self._key, sub, ksub = jax.random.split(self._key, 3)
-            xj = jnp.asarray(x)   # ONE host->device upload (the relay moves
-            # ~50 MB/s-300 MB/s; uploading the corpus once instead of twice
-            # saves ~1 s at 100k x 128d)
-            nbrs, dists, _cent, _cn, _c_rows = build_knn_graph(
-                xj, cfg.degree, sub, metric=cfg.metric, block=cfg.block,
+            kw = dict(
+                metric=cfg.metric, block=cfg.block,
                 spill=cfg.spill, passes=cfg.passes,
                 kmeans_iters=cfg.kmeans_iters, alpha=cfg.alpha,
                 precision=cfg.precision, reps=cfg.seed_reps, n_long=cfg.n_long,
                 kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
                 block_topk=cfg.block_topk, kmeans_sample=cfg.kmeans_sample,
             )
+            if not on_device and n >= _OVERLAP_MIN_N:
+                # segmented upload: the relay transfer (~40 MB/s measured,
+                # 1.15 s for 100k x 128d) runs on the DMA path while pass-0
+                # k-means + per-segment assignment execute on the landed
+                # prefix — the clustering phases hide under the transfer
+                nseg = 8
+                per = -(-n // nseg)
+                segs = [jax.device_put(x[i * per:(i + 1) * per])
+                        for i in range(nseg) if i * per < n]
+                nbrs, dists, _cent, _cn, _c_rows = build_knn_graph(
+                    None, cfg.degree, sub, segments=segs, **kw)
+                xj = jnp.concatenate(
+                    [s.astype(jnp.float32) for s in segs], axis=0)
+            else:
+                xj = jnp.asarray(x, jnp.float32)   # ONE upload; device
+                # arrays pass straight through
+                nbrs, dists, _cent, _cn, _c_rows = build_knn_graph(
+                    xj, cfg.degree, sub, **kw)
             q_scale = 1.0
             if cfg.dtype == "int8":
-                q_scale = max(float(np.abs(x).max()) if n else 1.0, 1e-12) / 127.0
+                amax = float(jnp.abs(xj).max()) if n else 1.0
+                q_scale = max(amax, 1e-12) / 127.0
                 stored, norms = D.quantize_corpus_global(
                     xj, cfg.metric, jnp.asarray(q_scale, jnp.float32)
                 )

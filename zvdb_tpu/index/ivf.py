@@ -613,7 +613,19 @@ class IVFIndex:
         reference has no failure recovery at all (SURVEY.md §5); the DEEP-10M
         build is minutes long, dominated by exactly the phases the plan
         captures."""
+        import os
+        import time as _time
+
         from .knn_graph import _kmeans_device
+
+        trace = os.environ.get("ZVDB_BUILD_TRACE", "") not in ("", "0")
+        marks = [("start", _time.perf_counter())]
+
+        def mark(name, *sync):
+            if trace:
+                if sync:
+                    jax.block_until_ready(sync)
+                marks.append((name, _time.perf_counter()))
 
         x = np.asarray(x, np.float32)
         n = x.shape[0]
@@ -630,22 +642,26 @@ class IVFIndex:
             xn = D.sq_norms(xd) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
             cent = _kmeans_device(xd, c, cfg.kmeans_iters, sub,
                                   sample=min(n, cfg.kmeans_sample))
+            mark("kmeans", cent)
             # l2 geometry drives assignment for every metric (cosine data is
             # normalized, dot uses the same centroid Voronoi structure)
             assign = np.asarray(
                 _assign(xd, xn, cent, D.sq_norms(cent))
             ).astype(np.int64)
+            mark("assign+pull")
 
             cap_split = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
             cap_split = max(cap_split, 8)
             rng = np.random.default_rng(cfg.seed + 1)
             cent_np, assign = split_oversized(x, np.asarray(cent), assign,
                                               cap_split, rng)
+            mark("split")
             cap = self._occupancy_cap(assign, len(cent_np))
             order = np.argsort(assign, kind="stable").astype(np.int32)
             sa = assign[order].astype(np.int32)
             first = np.searchsorted(sa, np.arange(len(cent_np)), side="left")
             slot = (np.arange(n) - first[sa]).astype(np.int32)
+            mark("host-order")
             rcap = max(1024, -(-n // 1024) * 1024 + 1024) if cfg.rerank else 0
             if checkpoint_path:
                 import dataclasses
@@ -661,6 +677,13 @@ class IVFIndex:
                 )
             self.state = self._pack_from_plan(xd, cent_np, order, sa, slot,
                                               cap, rcap)
+            mark("pack", self.state)
+            if trace:
+                total = marks[-1][1] - marks[0][1]
+                parts = "  ".join(f"{nm}={t1 - t0:.2f}s" for (_, t0), (nm, t1)
+                                  in zip(marks, marks[1:]))
+                print(f"[ivf build n={n}] total={total:.2f}s  {parts}",
+                      flush=True)
 
     def _pack_from_plan(self, xd, cent_np, order, sa, slot, cap: int,
                         rcap: int) -> IVFState:

@@ -140,17 +140,22 @@ def _pack_blocks(assign: np.ndarray, c: int, bcap: int):
 # per-block brute-force kNN + candidate scatter
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "metric", "approx"),
+@functools.partial(jax.jit, static_argnames=("kc", "metric", "sel"),
                    donate_argnums=(5, 6))
 def _block_knn_scatter(
     x, xn, block_pts, block_occ, occ_base, cand_s, cand_i, kc: int, metric: str,
-    approx: bool = False,
+    sel: str = "exact",
 ):
     """One chunk of clusters: dense intra-block distance matrix -> top-kc per
     row -> scatter each slot's candidate list into its point's occurrence lane.
 
     cand_s/cand_i: [N+1, O, kc] accumulation buffers (row N = trash).
     occ_base: scalar int32, this pass's first occurrence lane (pass * spill).
+    sel: per-row selection — "exact" (full top_k), "approx" (hardware
+    approx_min_k), "binfold" (modular bins folded with a pure-VPU min, then
+    one cheap two-sort top-kc over the L bin minima; candidate GENERATION
+    only — per-view bin collisions are absorbed by the multi-view union +
+    prune + reverse downstream, same argument as "approx").
     """
     cc, bcap = block_pts.shape
     safe = jnp.maximum(block_pts, 0)
@@ -165,7 +170,19 @@ def _block_knn_scatter(
     same = block_pts[:, :, None] == block_pts[:, None, :]   # self (and dup slots)
     s = jnp.where(same | ~valid[:, None, :] | ~valid[:, :, None], INF, s)
     kk = min(kc, bcap)
-    if approx and bcap >= 4 * kk:
+    if sel == "binfold" and bcap >= 4 * kk:
+        L = min(bcap, max(4 * kk, 32))
+        padb = -(-bcap // L) * L - bcap
+        sp = jnp.pad(s, ((0, 0), (0, 0), (0, padb)), constant_values=INF)
+        sr = sp.reshape(cc, bcap, -1, L)               # [cc, B, G, L]
+        bin_s = sr.min(axis=2)                         # [cc, B, L]
+        bin_g = sr.argmin(axis=2).astype(jnp.int32)
+        col = bin_g * L + jax.lax.broadcasted_iota(jnp.int32, bin_s.shape, 2)
+        ts, tp = T.sort_smallest_k(
+            bin_s.reshape(cc * bcap, L), col.reshape(cc * bcap, L), kk)
+        ts = ts.reshape(cc, bcap, kk)
+        tp = jnp.minimum(jnp.maximum(tp.reshape(cc, bcap, kk), 0), bcap - 1)
+    elif sel == "approx" and bcap >= 4 * kk:
         # hardware partial top-k: candidate GENERATION only — the per-view
         # unions + diversity prune + reverse pass downstream absorb the few
         # percent of per-view misses (measured: end recall unchanged)
@@ -174,7 +191,8 @@ def _block_knn_scatter(
         neg, tp = jax.lax.top_k(-s, kk)                # [cc, B, kk]
         ts = -neg
     tids = jnp.take_along_axis(
-        jnp.broadcast_to(block_pts[:, None, :], s.shape), tp, axis=-1
+        jnp.broadcast_to(block_pts[:, None, :], s.shape[:2] + (bcap,)), tp,
+        axis=-1,
     )
     tids = jnp.where(jnp.isfinite(ts), tids, -1)
     if kk < kc:
@@ -232,8 +250,12 @@ def build_knn_graph(
     block_topk: str = "exact",
     chain: bool = True,
     kmeans_sample: int = 65536,
+    segments=None,
 ) -> Tuple[np.ndarray, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Build a `degree`-regular approximate kNN graph over x [N, D].
+
+    segments: optional list of device arrays replacing x (upload-overlap
+    path — see _build_steps).
 
     Returns (nbrs [N+1, degree] int32 -1-padded (row N is the scatter trash
     row), dists [N+1, degree] f32 true distances, centroids [C, D] f32 of the
@@ -261,7 +283,7 @@ def build_knn_graph(
         balance_slack=balance_slack, prune_chunk=prune_chunk,
         reverse_chunk=reverse_chunk, reps=reps, n_long=n_long,
         kc_per_view=kc_per_view, prune_cap=prune_cap, block_topk=block_topk,
-        chain=chain, kmeans_sample=kmeans_sample,
+        chain=chain, kmeans_sample=kmeans_sample, segments=segments,
     )
     with ctx:
         try:
@@ -346,11 +368,24 @@ def _build_steps(
     block_topk: str = "exact",
     chain: bool = True,
     kmeans_sample: int = 65536,
+    segments=None,
 ):
     """Generator form of the graph build: yields tuples of device arrays at
     each host-sync point and expects the pulled numpy values back via send().
     Matmul precision context is the DRIVER's responsibility (a `with` block
-    suspended across yields would leak into interleaved shards)."""
+    suspended across yields would leak into interleaved shards).
+
+    segments: optional list of device arrays whose concatenation is the
+    corpus — the UPLOAD-OVERLAP path. Host->device transfer through the
+    relay runs on the DMA path concurrently with compute, but only if no
+    queued program consumes the still-in-flight buffers: pass-0 k-means runs
+    on segment 0 alone and per-segment assignment consumes each segment as
+    it lands, so clustering hides under the transfer of the later segments;
+    the full-corpus concat is dispatched AFTER those (stream is in-order —
+    dispatching it earlier would stall compute on the whole transfer).
+    Pass-0's k-means sample is segment-0-biased; pass 1 samples the full
+    corpus, and the multi-view union absorbs the difference (recall pinned
+    by the bench)."""
     from .build import _reverse_pass  # local import avoids a cycle
 
     trace = os.environ.get("ZVDB_BUILD_TRACE", "") not in ("", "0")
@@ -362,14 +397,24 @@ def _build_steps(
                 jax.block_until_ready(sync)
             marks.append((name, time.perf_counter()))
 
-    n, d = x.shape
-    xj = jnp.asarray(x, jnp.float32)
-    xn = D.sq_norms(xj) if metric == "l2" else jnp.zeros((n,), jnp.float32)
-
-    if True:
+    if segments is not None:
+        n = sum(int(s.shape[0]) for s in segments)
+        d = int(segments[0].shape[1])
+        xj = xn = None   # materialized after pass-0 assignment dispatches
+        if n <= max(degree + 1, 32):
+            xj = jnp.concatenate(
+                [s.astype(jnp.float32) for s in segments], axis=0)
+            xn = D.sq_norms(xj) if metric == "l2" \
+                else jnp.zeros((n,), jnp.float32)
+            return _tiny_graph(xj, xn, n, degree, metric)
+    else:
+        n, d = x.shape
+        xj = jnp.asarray(x, jnp.float32)
+        xn = D.sq_norms(xj) if metric == "l2" else jnp.zeros((n,), jnp.float32)
         if n <= max(degree + 1, 32):
             return _tiny_graph(xj, xn, n, degree, metric)
 
+    if True:
         block = int(min(block, max(64, n)))
         kc = min(kc_per_view if kc_per_view > 0 else degree, block - 1)
         o_total = passes * spill
@@ -380,15 +425,41 @@ def _build_steps(
         for p in range(passes):
             key, sub = jax.random.split(key)
             c = max(1, int(round(n * spill / block)))
-            centj = _kmeans_device(xj, c, kmeans_iters, sub,
-                                   sample=min(n, kmeans_sample))
-            mark(f"p{p}:kmeans", centj)
-            cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
-            assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
-            # host-sync point: the pack below needs the assignment on the
-            # host. Yield so a multi-shard driver can dispatch other shards'
-            # device work before blocking on this pull.
-            assign_np, s0n = yield (assign, s0)
+            if p == 0 and segments is not None:
+                seg0 = segments[0].astype(jnp.float32)
+                centj = _kmeans_device(
+                    seg0, c, kmeans_iters, sub,
+                    sample=min(int(seg0.shape[0]), kmeans_sample))
+                mark("p0:kmeans")   # no sync: would stall the overlap
+                cn = D.sq_norms(centj) if metric == "l2" \
+                    else jnp.zeros((c,), jnp.float32)
+                per_seg = []
+                for seg in segments:
+                    seg_f = seg.astype(jnp.float32)
+                    seg_n = D.sq_norms(seg_f) if metric == "l2" \
+                        else jnp.zeros((seg_f.shape[0],), jnp.float32)
+                    a_i, s_i = _assign_spill(seg_f, seg_n, centj, cn,
+                                             min(spill, c), metric)
+                    per_seg.extend((a_i, s_i))
+                # full corpus materializes only after the per-segment work
+                # is queued (in-order stream: see docstring)
+                xj = jnp.concatenate(
+                    [s.astype(jnp.float32) for s in segments], axis=0)
+                xn = D.sq_norms(xj) if metric == "l2" \
+                    else jnp.zeros((n,), jnp.float32)
+                pulled = yield tuple(per_seg)
+                assign_np = np.concatenate(pulled[0::2], axis=0)
+                s0n = np.concatenate(pulled[1::2], axis=0)
+            else:
+                centj = _kmeans_device(xj, c, kmeans_iters, sub,
+                                       sample=min(n, kmeans_sample))
+                mark(f"p{p}:kmeans", centj)
+                cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
+                assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
+                # host-sync point: the pack below needs the assignment on the
+                # host. Yield so a multi-shard driver can dispatch other
+                # shards' device work before blocking on this pull.
+                assign_np, s0n = yield (assign, s0)
             mark(f"p{p}:assign+pull")
             if assign_np.shape[1] < spill:   # c < spill: replicate
                 assign_np = np.pad(assign_np,
@@ -411,7 +482,7 @@ def _build_steps(
                 cand_s, cand_i = _block_knn_scatter(
                     xj, xn, jnp.asarray(bp), jnp.asarray(bo),
                     jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
-                    kc, metric, approx=(block_topk == "approx"),
+                    kc, metric, sel=block_topk,
                 )
             mark(f"p{p}:block-knn", cand_s)
 
