@@ -161,14 +161,23 @@ def _block_knn_scatter(
     safe = jnp.maximum(block_pts, 0)
     v = jnp.take(x, safe, axis=0)                      # [cc, B, D]
     vn = jnp.take(xn, safe, axis=0)                    # [cc, B]
-    dots = jnp.einsum("cbd,ced->cbe", v, v, preferred_element_type=jnp.float32)
-    if metric == "l2":
-        s = vn[:, None, :] - 2.0 * dots
-    else:
-        s = -dots
     valid = block_pts >= 0
-    same = block_pts[:, :, None] == block_pts[:, None, :]   # self (and dup slots)
-    s = jnp.where(same | ~valid[:, None, :] | ~valid[:, :, None], INF, s)
+    dots = jnp.einsum("cbd,ced->cbe", v, v, preferred_element_type=jnp.float32)
+    # Validity rides the NEIGHBOR norm column (+inf -> score +inf) and
+    # self-pairs are the diagonal only (_pack_blocks never places a point
+    # twice in one block: spill assignments are distinct clusters, overflow
+    # rows hold otherwise-absent points). The previous 3-compare mask
+    # materialized [cc, B, B] bools — several extra full passes over the
+    # score tensor that measured as most of the selection overhead.
+    # Invalid SOURCE rows score garbage but scatter to the trash row below.
+    nbias = jnp.where(valid, vn if metric == "l2" else 0.0, INF)   # [cc, B]
+    if metric == "l2":
+        s = nbias[:, None, :] - 2.0 * dots
+    else:
+        s = nbias[:, None, :] - dots
+    eye = jax.lax.broadcasted_iota(jnp.int32, (bcap, bcap), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (bcap, bcap), 1)
+    s = jnp.where(eye[None], INF, s)
     kk = min(kc, bcap)
     if sel == "binfold" and bcap >= 4 * kk:
         L = min(bcap, max(4 * kk, 32))

@@ -63,6 +63,38 @@ def _stack1(state: HNSWState) -> HNSWState:
     return jax.tree.map(lambda a: a[None], state)
 
 
+def make_anchor_reseed(mesh: Mesh, a_count: int):
+    """Jitted shard_map'd anchor (re)sampler for any stacked engine state
+    carrying vectors/norms/q_scale/n + anchors/a_norms/a_rows fields.
+
+    Resamples `a_count` anchor rows per shard over that shard's live range
+    [0, n) — shape-stable (with replacement), so grown indexes refresh their
+    seed tables without recompiling anything but this function. Also serves
+    as the initial attach for builds whose step has no anchor epilogue."""
+
+    @jax.jit
+    def reseed(state, key):
+        specs = jax.tree.map(lambda _: P(SHARD_AXIS), state)
+        out_specs = jax.tree.map(lambda _: P(SHARD_AXIS), state)
+
+        def local(st, key):
+            st1 = jax.tree.map(lambda a: a[0], st)
+            k = jax.random.fold_in(key, jax.lax.axis_index(SHARD_AXIS))
+            rows = jax.random.randint(
+                k, (a_count,), 0, jnp.maximum(st1.n, 1), jnp.int32)
+            anchors = jnp.take(st1.vectors, rows, axis=0) \
+                .astype(jnp.float32) * st1.q_scale
+            st1 = st1._replace(anchors=anchors,
+                               a_norms=jnp.take(st1.norms, rows),
+                               a_rows=rows)
+            return jax.tree.map(lambda a: a[None], st1)
+
+        return shard_map(local, mesh=mesh, in_specs=(specs, P()),
+                         out_specs=out_specs)(state, key)
+
+    return reseed
+
+
 class ShardedHNSW:
     """Mesh-sharded HNSW. API mirrors the single-chip class (build/search/len)."""
 
@@ -86,6 +118,9 @@ class ShardedHNSW:
         self._search_fn = None
         self._pending: list[np.ndarray] = []
         self._step_fns = {}
+        self._reseed_fn = None
+        self._reseed_key = None
+        self._anchor_n = 0   # max per-shard n at the last anchor snapshot
 
     def __len__(self) -> int:
         return self._n + sum(p.shape[0] for p in self._pending)
@@ -150,8 +185,26 @@ class ShardedHNSW:
                 jax.device_put(vs[:, lo:hi], shard_sharding),
             )
         self.state = state
+        # anchor attach: the batched step has no anchor epilogue, so sharded
+        # HNSW searches were descent-only seeded (anchors [0, D]) — attach a
+        # per-shard table now (same routing win as the single-chip engine)
+        self._attach_anchors(per)
         self._search_fn = None
         self._pending = []
+
+    def _attach_anchors(self, per: int) -> None:
+        import math
+
+        a = 1 << max(10, min(15, int(math.ceil(
+            math.log2(max(per, 2) / 12.0)))))
+        a = min(a, max(self.shard_cap, 1))
+        key = (a,)
+        if self._reseed_fn is None or self._reseed_key != key:
+            self._reseed_fn = make_anchor_reseed(self.mesh, a)
+            self._reseed_key = key
+        self._key, sub = jax.random.split(self._key)
+        self.state = self._reseed_fn(self.state, sub)
+        self._anchor_n = per
 
     def _make_step(self):
         """shard_map'd batched build step (shared by build and insert)."""
@@ -246,6 +299,12 @@ class ShardedHNSW:
             )
         self.state = state
         self._n = base + new.shape[0]
+        # anchor refresh on growth (see CagraIndex._reseed_anchors rationale)
+        n_after = int(np.asarray(jax.device_get(state.n)).max())
+        if self.state.anchors.shape[1] > 0 \
+                and n_after >= 2 * max(self._anchor_n, 1):
+            self._attach_anchors(n_after)
+            self._search_fn = None
 
     def _grow(self, new_cap: int) -> None:
         """Grow every shard's capacity (stacked leaves; trash row re-created
@@ -333,6 +392,7 @@ class ShardedHNSW:
                     )
                     for f in HNSWState._fields
                 })
+                idx._anchor_n = int(np.asarray(z["n"]).max())
         return idx
 
     # ----------------------------------------------------------------- search

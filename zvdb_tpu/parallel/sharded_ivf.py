@@ -194,6 +194,20 @@ class ShardedIVF:
         return run
 
     def search(self, q, k: int, nprobe: Optional[int] = None):
+        """Shard-routed search. `nprobe` is a GLOBAL budget: each shard
+        probes its `ceil(nprobe/S) + 1` best LOCAL clusters, so the union
+        probes between nprobe+S and the single-chip nprobe's cluster set.
+        This is NOT identical to single-chip nprobe=p — the global p best
+        clusters may concentrate on one shard, in which case that shard
+        covers only ceil(p/S)+1 of them and recall can differ either way
+        (usually UP: the aggregate probe count S*(ceil(p/S)+1) >= p+S, and
+        the per-shard spread probes clusters the single-chip scan would
+        skip). Tested floors: tests/test_sharded_ivf.py pins recall at
+        matched global budgets; exact single-chip equivalence would need
+        centroid-score all-gather routing (one [B, C_global] matmul +
+        cross-shard probe exchange) — rejected: it serializes every search
+        on a global top-p and ships probe lists over ICI for no measured
+        recall win at the tested scales."""
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
