@@ -135,16 +135,32 @@ def main():
                            build_pps=n / flat_build_s)
 
     # ---- ivf --------------------------------------------------------------
+    # kmeans_iters=4 / sample=65536: round-3 sweep measured equal-or-better
+    # recall (0.9956 vs 0.9926 at nprobe=2) at equal build cost — the build
+    # is upload-bound (relay 40 MB/s), not Lloyd-bound
     try:
-        warm = IVFIndex(IVFConfig(dim=d, n_clusters=1024, nprobe=8, metric=metric))
+        ivf_cfg = IVFConfig(dim=d, n_clusters=1024, nprobe=8, metric=metric,
+                            kmeans_iters=4, kmeans_sample=65536)
+        warm = IVFIndex(ivf_cfg)
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        ivf = IVFIndex(IVFConfig(dim=d, n_clusters=1024, nprobe=8, metric=metric))
+        ivf = IVFIndex(ivf_cfg)
         t0 = time.perf_counter()
         ivf.build(x)
         jax.block_until_ready(ivf.state)
         ivf_build_s = time.perf_counter() - t0
+        # device-resident corpus build (no relay upload — the
+        # hardware-representative number: real v5e PCIe moves this corpus in
+        # ~5 ms where the relay tunnel takes 1.15 s)
+        xd = jax.device_put(x)
+        jax.block_until_ready(xd)
+        ivf_dev = IVFIndex(ivf_cfg)
+        t0 = time.perf_counter()
+        ivf_dev.build(xd)
+        jax.block_until_ready(ivf_dev.state)
+        ivf_build_dev_s = time.perf_counter() - t0
+        del ivf_dev, xd
         best_ivf = None
         for npb in (2, 4, 8):
             ids = []
@@ -159,9 +175,11 @@ def main():
             best_ivf = (8, r)
         npb, ivf_recall = best_ivf
         ivf_qps = timed_qps(lambda qq: ivf.search(qq, k, nprobe=npb), q, batch)
-        log(f"ivf: recall={ivf_recall:.4f} qps={ivf_qps:,.0f} build={n/ivf_build_s:,.0f} pts/s (nprobe={npb})")
+        log(f"ivf: recall={ivf_recall:.4f} qps={ivf_qps:,.0f} build={n/ivf_build_s:,.0f} pts/s "
+            f"(device-resident {n/ivf_build_dev_s:,.0f}) (nprobe={npb})")
         results["ivf"] = dict(recall=ivf_recall, qps=ivf_qps,
-                              build_pps=n / ivf_build_s, nprobe=npb)
+                              build_pps=n / ivf_build_s,
+                              build_pps_device=n / ivf_build_dev_s, nprobe=npb)
     except Exception as e:  # keep headline alive if a secondary engine breaks
         log(f"ivf failed: {e!r}")
 
@@ -183,6 +201,19 @@ def main():
             cagra.build(x)
             jax.block_until_ready(cagra.state)
             cagra_build_s = min(cagra_build_s, time.perf_counter() - t0)
+        # device-resident corpus build (the relay's 40 MB/s single-stream
+        # upload is 1.15 s of the host build; real v5e PCIe would be ~5 ms)
+        xd = jax.device_put(x)
+        jax.block_until_ready(xd)
+        cagra_build_dev_s = float("inf")
+        for _ in range(2):
+            cdev = cagra_factory()
+            t0 = time.perf_counter()
+            cdev.build(xd)
+            jax.block_until_ready(cdev.state)
+            cagra_build_dev_s = min(cagra_build_dev_s,
+                                    time.perf_counter() - t0)
+        del cdev, xd
         cagra_ef, cagra_recall = None, 0.0
         for ef in (12, 16, 24, 32, 48, 64, 96):
             ids = np.asarray(cagra.search(q[:2048], k, ef_search=ef)[1])
@@ -197,9 +228,12 @@ def main():
             lambda qq: cagra.search(qq, k, ef_search=cagra_ef), q, 5000, reps=3
         )
         log(f"cagra: recall={cagra_recall:.4f} qps={cagra_qps:,.0f} "
-            f"build={n/cagra_build_s:,.0f} pts/s (ef={cagra_ef})")
+            f"build={n/cagra_build_s:,.0f} pts/s "
+            f"(device-resident {n/cagra_build_dev_s:,.0f}) (ef={cagra_ef})")
         results["cagra"] = dict(recall=cagra_recall, qps=cagra_qps,
-                                build_pps=n / cagra_build_s, ef=cagra_ef)
+                                build_pps=n / cagra_build_s,
+                                build_pps_device=n / cagra_build_dev_s,
+                                ef=cagra_ef)
         del cagra
     except Exception as e:
         log(f"cagra failed: {e!r}")
@@ -285,13 +319,60 @@ def main():
         qps1 = timed_qps(lambda qq: fl1.search(qq, k, approx=True), q1, 2048)
         log(f"flat 1M: recall={r1:.4f} qps={qps1:,.0f} build={n1/b1:,.0f} pts/s")
         results["flat_1m"] = dict(recall=r1, qps=qps1, build_pps=n1 / b1)
-        del fl1, x1
+        del fl1
+
+        # fused Pallas bf16-scan + exact rerank (round-3: 213-227k QPS @
+        # 0.991-0.995 vs the XLA two-pass's 155-207k in the same sessions)
+        flp = FlatIndex(
+            FlatConfig(dim=d, metric=metric, rerank=4, recall_target=0.97,
+                       scan="pallas", l_bins=1024, pallas_chunk=4096,
+                       pallas_bq=512),
+            capacity=n1,
+        )
+        flp.add(x1)
+        jax.block_until_ready(flp.state)
+        idsp = np.concatenate([
+            np.asarray(flp.search(q1[lo:lo + 2048], k, approx=True)[1])
+            for lo in range(0, nq, 2048)
+        ])
+        rp = recall_at_k(idsp, gt1, k)
+        qpsp = timed_qps(lambda qq: flp.search(qq, k, approx=True), q1, 2048)
+        log(f"flat 1M pallas: recall={rp:.4f} qps={qpsp:,.0f}")
+        results["flat_1m_pallas"] = dict(recall=rp, qps=qpsp)
+        del flp
+
+        # graph engine at 1M — the north-star axis (>=100k QPS @ >=0.95
+        # recall on the HNSW-class engine): anchor table grown to 262144
+        # (the seed matmul is MXU-cheap; anchors cut beam hops, which are
+        # gather-expensive), truncated search degree 16, hop budget 4
+        # (anchor seeds converge in <=4 hops at this recall tier — round-3
+        # sweep: 130.3k QPS @ 0.9838; ef=16/sd=24/mi=6: 75.7k @ 0.9958)
+        from zvdb_tpu import CagraConfig, CagraIndex
+
+        cg1 = CagraIndex(CagraConfig(
+            dim=d, degree=32, metric=metric, n_anchors=262144,
+            search_degree=16, max_iters=4, ef_search=12))
+        t0 = time.perf_counter()
+        cg1.build(x1)
+        jax.block_until_ready(cg1.state)
+        cb1 = time.perf_counter() - t0
+        idsg = np.concatenate([
+            np.asarray(cg1.search(q1[lo:lo + 5000], k, ef_search=12)[1])
+            for lo in range(0, nq, 5000)
+        ])
+        rg = recall_at_k(idsg, gt1, k)
+        qpsg = timed_qps(
+            lambda qq: cg1.search(qq, k, ef_search=12), q1, 5000, reps=3)
+        log(f"cagra 1M: recall={rg:.4f} qps={qpsg:,.0f} build={n1/cb1:,.0f} pts/s")
+        results["cagra_1m"] = dict(recall=rg, qps=qpsg, build_pps=n1 / cb1,
+                                   ef=12)
+        del cg1, x1
     except Exception as e:
         log(f"1M config failed: {e!r}")
 
     # headline = best engine clearing the recall target (100k-point protocol
     # engines only; the 1M result is reported alongside)
-    results_100k = {k2: v2 for k2, v2 in results.items() if k2 != "flat_1m"}
+    results_100k = {k2: v2 for k2, v2 in results.items() if "_1m" not in k2}
     best_name, best = max(
         ((name, r) for name, r in results_100k.items()
          if r["recall"] >= TARGET_RECALL),

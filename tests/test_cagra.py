@@ -188,7 +188,7 @@ def test_segmented_upload_overlap_build(rng, monkeypatch):
     centers = rng.standard_normal((nc, d)).astype(np.float32)
     x = (centers[rng.integers(0, nc, n)]
          + 0.12 * rng.standard_normal((n, d))).astype(np.float32)
-    idx = CagraIndex(CagraConfig(dim=d, degree=16))
+    idx = CagraIndex(CagraConfig(dim=d, degree=16, upload_segments=8))
     idx.build(x[:5997])   # odd n exercises the tail segment
     ids = np.asarray(idx.search(x[:512], 1, ef_search=24)[1])
     assert (ids[:, 0] == np.arange(512)).mean() >= 0.9

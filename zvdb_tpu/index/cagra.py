@@ -46,8 +46,12 @@ from .knn_graph import VecStore, build_knn_graph
 
 INF = jnp.inf
 
-# host corpora at least this large build through the segmented upload-overlap
-# path (tests shrink it to exercise the path on small CPU corpora)
+# minimum host-corpus size for the segmented upload-overlap path when
+# CagraConfig.upload_segments > 1 (tests shrink it to exercise the path on
+# small CPU corpora). MEASURED (round 3, v5e relay): this relay does NOT
+# overlap DMA with compute — segmented builds timed the same as single-upload
+# (2.65-2.83 s vs ~2.6 s at 100k x 128d) — so the path is OFF by default and
+# exists for hosts whose transfer engine genuinely overlaps (standard PCIe).
 _OVERLAP_MIN_N = 1 << 16
 
 
@@ -109,6 +113,11 @@ class CagraConfig:
     build_batch: int = 2048
     ef_construction: int = 64
     seed: int = 0
+    # Segmented upload-overlap build: >1 splits a HOST corpus into this many
+    # device_put segments and runs pass-0 k-means/assignment on the landed
+    # prefix while the rest transfers. 0 = off (default: the axon relay does
+    # not overlap DMA with compute — measured no win; see _OVERLAP_MIN_N).
+    upload_segments: int = 0
     # Fat-row hop expansion: materialize each node's whole neighborhood
     # (deg x (vector | norm | id)) as ONE row of a [cap+1, deg*(D+2)] f32
     # table, so a hop gathers `expand` rows instead of `expand*degree`.
@@ -474,12 +483,13 @@ class CagraIndex:
                 kc_per_view=cfg.kc_per_view, prune_cap=cfg.prune_cap,
                 block_topk=cfg.block_topk, kmeans_sample=cfg.kmeans_sample,
             )
-            if not on_device and n >= _OVERLAP_MIN_N:
-                # segmented upload: the relay transfer (~40 MB/s measured,
-                # 1.15 s for 100k x 128d) runs on the DMA path while pass-0
-                # k-means + per-segment assignment execute on the landed
-                # prefix — the clustering phases hide under the transfer
-                nseg = 8
+            if not on_device and cfg.upload_segments > 1 \
+                    and n >= _OVERLAP_MIN_N:
+                # segmented upload: pass-0 k-means + per-segment assignment
+                # execute on the landed prefix while later segments transfer
+                # (only wins on hosts whose DMA overlaps compute — not this
+                # relay; see _OVERLAP_MIN_N)
+                nseg = cfg.upload_segments
                 per = -(-n // nseg)
                 segs = [jax.device_put(x[i * per:(i + 1) * per])
                         for i in range(nseg) if i * per < n]

@@ -261,6 +261,17 @@ def _two_means(sub: np.ndarray, rng: np.random.Generator, iters: int = 4):
     return c0, c1
 
 
+class _DeviceRows:
+    """Row-pull adapter for split_oversized over a device-resident corpus:
+    x[pts] gathers on device and pulls only those rows to the host."""
+
+    def __init__(self, xd):
+        self.xd = xd
+
+    def __getitem__(self, idx):
+        return np.asarray(jnp.take(self.xd, jnp.asarray(idx), axis=0))
+
+
 def split_oversized(x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
                     cap: int, rng: np.random.Generator):
     """Split clusters that exceed `cap` into two local sub-clusters until all fit.
@@ -627,17 +638,26 @@ class IVFIndex:
                     jax.block_until_ready(sync)
                 marks.append((name, _time.perf_counter()))
 
-        x = np.asarray(x, np.float32)
+        on_device = isinstance(x, jax.Array)
+        if not on_device:
+            x = np.asarray(x, np.float32)
         n = x.shape[0]
         with self._lock:
             self._pending = []
             self._n_inserted = n
             cfg = self.cfg
             if cfg.metric == "cosine":
-                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                if on_device:
+                    x = x / jnp.maximum(
+                        jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                else:
+                    x = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             c = cfg.n_clusters or max(8, 1 << int(round(math.log2(4 * math.sqrt(max(n, 1))))))
             c = min(c, max(8, n))
             self._key, sub = jax.random.split(self._key)
+            # device-resident corpora skip the relay upload entirely (the
+            # measured 1.15 s at 100k x 128d — the largest single build cost)
             xd = jnp.asarray(x, jnp.float32)
             xn = D.sq_norms(xd) if cfg.metric == "l2" else jnp.zeros((n,), jnp.float32)
             cent = _kmeans_device(xd, c, cfg.kmeans_iters, sub,
@@ -653,7 +673,10 @@ class IVFIndex:
             cap_split = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
             cap_split = max(cap_split, 8)
             rng = np.random.default_rng(cfg.seed + 1)
-            cent_np, assign = split_oversized(x, np.asarray(cent), assign,
+            # device path: split_oversized touches only oversized clusters'
+            # members — pull those rows on demand instead of the whole corpus
+            x_rows = _DeviceRows(xd) if on_device else x
+            cent_np, assign = split_oversized(x_rows, np.asarray(cent), assign,
                                               cap_split, rng)
             mark("split")
             cap = self._occupancy_cap(assign, len(cent_np))
@@ -672,7 +695,7 @@ class IVFIndex:
                     meta=json.dumps(dict(kind="ivf_plan",
                                          cfg=dataclasses.asdict(cfg),
                                          cap=cap, rcap=rcap)),
-                    corpus=x, cent=cent_np.astype(np.float32),
+                    corpus=np.asarray(x), cent=cent_np.astype(np.float32),
                     order=order, sa=sa, slot=slot,
                 )
             self.state = self._pack_from_plan(xd, cent_np, order, sa, slot,
