@@ -198,3 +198,47 @@ def test_flat_engine_pallas_rerank_path():
     # scores are exact f32 (rescored), not bf16 scan values
     d0 = ((q[0] - x[np.asarray(ids)[0, 0]]) ** 2).sum()
     np.testing.assert_allclose(np.asarray(s)[0, 0], d0, rtol=1e-4)
+
+
+def test_pallas_block_scorer_matches_reference():
+    """ops/pallas_block.block_bins: fused block matmul + diag mask + bin
+    fold equals the XLA reference per bin (interpret mode)."""
+    from zvdb_tpu.ops.pallas_block import block_bins
+
+    rng = np.random.default_rng(2)
+    cc, b, d, L = 2, 200, 16, 128
+    v = rng.standard_normal((cc, b, d)).astype(np.float32)
+    vn = (v ** 2).sum(-1).astype(np.float32)
+    vn[0, 190:] = np.inf
+    bs, bi = block_bins(jnp.asarray(v), jnp.asarray(vn), l_bins=L, bq=128,
+                        precision="highest", interpret=True)
+    bs, bi = np.asarray(bs), np.asarray(bi)
+    for c in range(cc):
+        s = vn[c][None, :] - 2 * (v[c] @ v[c].T)
+        s[np.arange(b), np.arange(b)] = np.inf
+        s[:, vn[c] == np.inf] = np.inf
+        for r in (0, 17, b - 1):
+            ref = np.full(L, np.inf)
+            refi = np.full(L, -1)
+            for col in range(b):
+                l = col % L
+                if s[r, col] < ref[l]:
+                    ref[l], refi[l] = s[r, col], col
+            fin = np.isfinite(ref)
+            np.testing.assert_allclose(bs[c, r][fin], ref[fin], atol=1e-4)
+            np.testing.assert_array_equal(bi[c, r][fin], refi[fin])
+            assert (bi[c, r][~fin] == -1).all()
+
+
+def test_graph_build_pallas_block_topk(rng):
+    """block_topk='pallas' builds a graph of the same quality class."""
+    from zvdb_tpu import CagraConfig, CagraIndex
+
+    nc, n, d = 40, 5000, 16
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    x = (centers[rng.integers(0, nc, n)]
+         + 0.12 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = CagraIndex(CagraConfig(dim=d, degree=16, block_topk="pallas"))
+    idx.build(x)
+    ids = np.asarray(idx.search(x[:512], 1, ef_search=24)[1])
+    assert (ids[:, 0] == np.arange(512)).mean() >= 0.95

@@ -162,6 +162,39 @@ def _block_knn_scatter(
     v = jnp.take(x, safe, axis=0)                      # [cc, B, D]
     vn = jnp.take(xn, safe, axis=0)                    # [cc, B]
     valid = block_pts >= 0
+    kk0 = min(kc, bcap)
+    if sel == "pallas" and bcap >= 4 * kk0 and 128 >= 2 * kk0:
+        # fused Pallas block-scorer: matmul + diag mask + bin fold in VMEM
+        # (the XLA path round-trips the [cc, B, B] score tensor through HBM
+        # and its partial top-k is slow at huge-batch x medium width)
+        from ..ops.pallas_block import block_bins
+
+        L = 128
+        bin_s, bin_i = block_bins(
+            v.astype(jnp.float32),
+            jnp.where(valid, vn if metric == "l2" else 0.0, INF),
+            l_bins=L, bq=256, metric=metric, precision="high",
+            interpret=jax.default_backend() != "tpu",
+        )
+        ts, tp = T.sort_smallest_k(
+            bin_s.reshape(cc * bcap, L), bin_i.reshape(cc * bcap, L), kk0)
+        ts = ts.reshape(cc, bcap, kk0)
+        tp = jnp.minimum(jnp.maximum(tp.reshape(cc, bcap, kk0), 0), bcap - 1)
+        tids = jnp.take_along_axis(
+            jnp.broadcast_to(block_pts[:, None, :], (cc, bcap, bcap)), tp,
+            axis=-1)
+        tids = jnp.where(jnp.isfinite(ts), tids, -1)
+        if kk0 < kc:
+            ts = jnp.pad(ts, ((0, 0), (0, 0), (0, kc - kk0)),
+                         constant_values=INF)
+            tids = jnp.pad(tids, ((0, 0), (0, 0), (0, kc - kk0)),
+                           constant_values=-1)
+        npts = cand_s.shape[0] - 1
+        wp = jnp.where(valid, block_pts, npts).reshape(-1)
+        wo = (occ_base + block_occ).reshape(-1)
+        cand_s = cand_s.at[wp, wo].set(ts.reshape(-1, kc))
+        cand_i = cand_i.at[wp, wo].set(tids.reshape(-1, kc))
+        return cand_s, cand_i
     dots = jnp.einsum("cbd,ced->cbe", v, v, preferred_element_type=jnp.float32)
     # Validity rides the NEIGHBOR norm column (+inf -> score +inf) and
     # self-pairs are the diagonal only (_pack_blocks never places a point
