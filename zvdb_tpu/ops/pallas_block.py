@@ -60,7 +60,7 @@ def _kernel(lhs_ref, rhs_ref, vn_ref, out_s_ref, out_i_ref, *,
         dots = dot(lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16))
 
     factor = 2.0 if metric == "l2" else 1.0
-    s = vn_ref[0][None, :] - factor * dots                  # [bq, Bpad]
+    s = vn_ref[0, 0][None, :] - factor * dots               # [bq, Bpad]
     # self-pairs are exactly the diagonal (block members are distinct;
     # invalid slots carry vn=+inf already)
     row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bpad), 0)
@@ -102,8 +102,11 @@ def block_bins(
     bpad = -(-b // bq) * bq     # one pad serves LHS tiles, RHS width, bins
     pd = -(-d // 128) * 128 - d
     vp = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, bpad - b), (0, pd)))
+    # [cc, 1, bpad]: a (1, bpad) block over [cc, bpad] violates Mosaic's
+    # sublane rule (second-to-last block dim must divide by 8 or equal the
+    # overall dim); the singleton middle axis satisfies it exactly
     np_ = jnp.pad(vn.astype(jnp.float32), ((0, 0), (0, bpad - b)),
-                  constant_values=INF)
+                  constant_values=INF)[:, None, :]
 
     kernel = functools.partial(_kernel, l_bins=l_bins, metric=metric,
                                precision=precision)
@@ -117,7 +120,7 @@ def block_bins(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bpad, vp.shape[-1]), lambda c, i: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bpad), lambda c, i: (c, 0),
+            pl.BlockSpec((1, 1, bpad), lambda c, i: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
