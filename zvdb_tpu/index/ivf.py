@@ -272,6 +272,82 @@ class _DeviceRows:
         return np.asarray(jnp.take(self.xd, jnp.asarray(idx), axis=0))
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _batched_two_means(xd, members, iters: int = 4):
+    """Two-means over many clusters at once: members [O, M] int32 (-1 pad).
+    Returns (c0 [O, D], c1 [O, D], side0 [O, M] bool). Init is deterministic
+    (first member vs the count//2-th); degenerate one-sided splits fall back
+    to an index-halves split, matching the host _two_means behavior."""
+    valid = members >= 0
+    safe = jnp.maximum(members, 0)
+    pts = jnp.take(xd, safe, axis=0).astype(jnp.float32)       # [O, M, D]
+    o, m, d = pts.shape
+    counts = valid.sum(1)
+    idx1 = jnp.maximum(counts // 2, 1)[:, None, None]
+    c0 = pts[:, 0]
+    c1 = jnp.take_along_axis(pts, jnp.broadcast_to(idx1, (o, 1, d)),
+                             axis=1)[:, 0]
+    iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+    m0 = valid & (iota % 2 == 0)
+    for _ in range(iters):
+        d0 = ((pts - c0[:, None]) ** 2).sum(-1)
+        d1 = ((pts - c1[:, None]) ** 2).sum(-1)
+        m0 = (d0 <= d1) & valid
+        n0 = jnp.maximum(m0.sum(1), 1).astype(jnp.float32)
+        n1 = jnp.maximum((valid & ~m0).sum(1), 1).astype(jnp.float32)
+        c0 = jnp.einsum("om,omd->od", m0.astype(jnp.float32), pts) / n0[:, None]
+        c1 = jnp.einsum("om,omd->od", (valid & ~m0).astype(jnp.float32),
+                        pts) / n1[:, None]
+    deg = (m0.sum(1) == counts) | (m0.sum(1) == 0)
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    half = valid & (pos < (counts // 2)[:, None])
+    m0 = jnp.where(deg[:, None], half, m0)
+    # recompute split centroids for the final sides so downstream probe
+    # routing sees representative centers
+    n0 = jnp.maximum(m0.sum(1), 1).astype(jnp.float32)
+    n1 = jnp.maximum((valid & ~m0).sum(1), 1).astype(jnp.float32)
+    c0 = jnp.einsum("om,omd->od", m0.astype(jnp.float32), pts) / n0[:, None]
+    c1 = jnp.einsum("om,omd->od", (valid & ~m0).astype(jnp.float32),
+                    pts) / n1[:, None]
+    return c0, c1, m0
+
+
+def split_oversized_device(xd, cent: np.ndarray, assign: np.ndarray,
+                           cap: int):
+    """Device-vectorized split_oversized: ALL oversized clusters of a round
+    split in one batched two-means (the host loop measured 124-131 s at
+    DEEP-10M — a pure single-core Python bottleneck; this runs in seconds).
+    Semantics match split_oversized (two-means halving until every cluster
+    fits); init differs (deterministic vs host-RNG seeds), which only
+    perturbs which near-tied points land on which side."""
+    cent = [c for c in cent]
+    assign = assign.astype(np.int64).copy()
+    while True:
+        counts = np.bincount(assign, minlength=len(cent))
+        over = np.nonzero(counts > cap)[0]
+        if len(over) == 0:
+            break
+        order = np.asarray(jnp.argsort(jnp.asarray(assign, jnp.int32)))
+        sa = assign[order]
+        starts = np.searchsorted(sa, over, side="left")
+        ends = np.searchsorted(sa, over, side="right")
+        mmax = int((ends - starts).max())
+        members = np.full((len(over), mmax), -1, np.int32)
+        for i in range(len(over)):
+            members[i, : ends[i] - starts[i]] = order[starts[i]:ends[i]]
+        c0, c1, side0 = _batched_two_means(xd, jnp.asarray(members))
+        c0 = np.asarray(c0)
+        c1 = np.asarray(c1)
+        side0 = np.asarray(side0)
+        for i, c in enumerate(over):
+            mem = members[i]
+            live = mem >= 0
+            cent[c] = c0[i]
+            cent.append(c1[i])
+            assign[mem[live & ~side0[i]]] = len(cent) - 1
+    return np.asarray(cent, np.float32), assign
+
+
 def split_oversized(x: np.ndarray, cent: np.ndarray, assign: np.ndarray,
                     cap: int, rng: np.random.Generator):
     """Split clusters that exceed `cap` into two local sub-clusters until all fit.
@@ -673,14 +749,25 @@ class IVFIndex:
             cap_split = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
             cap_split = max(cap_split, 8)
             rng = np.random.default_rng(cfg.seed + 1)
-            # device path: split_oversized touches only oversized clusters'
-            # members — pull those rows on demand instead of the whole corpus
-            x_rows = _DeviceRows(xd) if on_device else x
-            cent_np, assign = split_oversized(x_rows, np.asarray(cent), assign,
-                                              cap_split, rng)
+            if n >= 500_000:
+                # device-vectorized split: the host two-means loop measured
+                # 124-131 s at DEEP-10M on this 1-core host
+                cent_np, assign = split_oversized_device(
+                    xd, np.asarray(cent), assign, cap_split)
+            else:
+                # device path: split touches only oversized clusters'
+                # members — pull those rows on demand, not the whole corpus
+                x_rows = _DeviceRows(xd) if on_device else x
+                cent_np, assign = split_oversized(
+                    x_rows, np.asarray(cent), assign, cap_split, rng)
             mark("split")
             cap = self._occupancy_cap(assign, len(cent_np))
-            order = np.argsort(assign, kind="stable").astype(np.int32)
+            if n >= 500_000:   # host stable argsort measured 6-16 s at 10M
+                order = np.asarray(
+                    jnp.argsort(jnp.asarray(assign, jnp.int32))
+                ).astype(np.int32)
+            else:
+                order = np.argsort(assign, kind="stable").astype(np.int32)
             sa = assign[order].astype(np.int32)
             first = np.searchsorted(sa, np.arange(len(cent_np)), side="left")
             slot = (np.arange(n) - first[sa]).astype(np.int32)
