@@ -90,7 +90,16 @@ def main(argv=None):
 
     for x, q, metric in datasets:
         d = x.shape[1]
-        gt = ground_truth_host(x, q, max(ks), metric)[1] if args.recall else None
+        gt = None
+        if args.recall:
+            if x.size > (1 << 25) and jax.default_backend() != "cpu":
+                # device oracle: the host BLAS oracle is minutes per dim on
+                # a 1-core host at the 100k x 1024d grid corner
+                from zvdb_tpu.index.flat import exact_ground_truth
+
+                gt = exact_ground_truth(x, q, max(ks), metric)[1]
+            else:
+                gt = ground_truth_host(x, q, max(ks), metric)[1]
 
         if args.engine == "flat":
             factory = lambda: FlatIndex(

@@ -40,7 +40,10 @@ def _kernel(lhs_ref, rhs_ref, vn_ref, out_s_ref, out_i_ref, *,
     bpad = rhs_ref.shape[1]
     i = pl.program_id(1)
 
-    def dot(a, b, prec=None):
+    # precision pinned EXPLICITLY on every dot: the graph build wraps the
+    # whole pipeline in jax.default_matmul_precision("high"), and Mosaic
+    # rejects an ambient HIGH resolving onto an unannotated dot_general
+    def dot(a, b, prec=jax.lax.Precision.DEFAULT):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,

@@ -53,7 +53,9 @@ def _scan_kernel(q_ref, v_ref, n_ref, out_s_ref, out_i_ref, best_s, best_i, *,
         best_s[:] = jnp.full((bq, l_bins), jnp.inf, jnp.float32)
         best_i[:] = jnp.full((bq, l_bins), _NEG1, jnp.int32)
 
-    def dot(a, b, prec=None):
+    # explicit DEFAULT (not None): an ambient jax.default_matmul_precision
+    # ("high") context would resolve None to HIGH, which Mosaic rejects
+    def dot(a, b, prec=jax.lax.Precision.DEFAULT):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
