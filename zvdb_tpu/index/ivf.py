@@ -322,6 +322,10 @@ def split_oversized_device(xd, cent: np.ndarray, assign: np.ndarray,
     perturbs which near-tied points land on which side."""
     cent = [c for c in cent]
     assign = assign.astype(np.int64).copy()
+
+    def pow2(v):
+        return 1 << max(int(np.ceil(np.log2(max(v, 1)))), 3)
+
     while True:
         counts = np.bincount(assign, minlength=len(cent))
         over = np.nonzero(counts > cap)[0]
@@ -331,20 +335,33 @@ def split_oversized_device(xd, cent: np.ndarray, assign: np.ndarray,
         sa = assign[order]
         starts = np.searchsorted(sa, over, side="left")
         ends = np.searchsorted(sa, over, side="right")
-        mmax = int((ends - starts).max())
-        members = np.full((len(over), mmax), -1, np.int32)
-        for i in range(len(over)):
-            members[i, : ends[i] - starts[i]] = order[starts[i]:ends[i]]
-        c0, c1, side0 = _batched_two_means(xd, jnp.asarray(members))
-        c0 = np.asarray(c0)
-        c1 = np.asarray(c1)
-        side0 = np.asarray(side0)
-        for i, c in enumerate(over):
-            mem = members[i]
-            live = mem >= 0
-            cent[c] = c0[i]
-            cent.append(c1[i])
-            assign[mem[live & ~side0[i]]] = len(cent) - 1
+        sizes = ends - starts
+        by_size = np.argsort(-sizes, kind="stable")
+        # chunk by a member-table element budget with pow2-padded shapes:
+        # unbounded [O, mmax] tables both OOMed the remote compile service
+        # at DEEP-10M and minted a fresh 20-30 s compile per novel shape
+        budget = 1 << 22
+        pos = 0
+        while pos < len(over):
+            mmax = pow2(sizes[by_size[pos]])
+            o_cap = max(1, budget // mmax)
+            sel = by_size[pos: pos + o_cap]
+            pos += len(sel)
+            o_pad = pow2(len(sel))
+            members = np.full((o_pad, mmax), -1, np.int32)
+            for j, oi in enumerate(sel):
+                members[j, : sizes[oi]] = order[starts[oi]:ends[oi]]
+            c0, c1, side0 = _batched_two_means(xd, jnp.asarray(members))
+            c0 = np.asarray(c0)
+            c1 = np.asarray(c1)
+            side0 = np.asarray(side0)
+            for j, oi in enumerate(sel):
+                c = over[oi]
+                mem = members[j]
+                live = mem >= 0
+                cent[c] = c0[j]
+                cent.append(c1[j])
+                assign[mem[live & ~side0[j]]] = len(cent) - 1
     return np.asarray(cent, np.float32), assign
 
 
