@@ -1,0 +1,179 @@
+"""Round-3 TPU batch #11.
+
+  A. 1M graph builds on the device pack: default (2,2) + fast (1,4), with
+     recall at the bench 1M search config (anchors 262144, sd 16, mi 4).
+  B. DEEP-10M with fresh fingerprinted gt. HBM discipline (16 GB/chip): the
+     exact oracle is built from the HOST corpus and freed before the IVF
+     build stages its own device copy — batch 10 held both and OOMed.
+"""
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("ZVDB_BUILD_TRACE", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def timed_qps(search_fn, staged, reps=3):
+    best = 0.0
+    nq = sum(s.shape[0] for s in staged)
+    for _ in range(2):
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for qb in staged:
+                outs.append(search_fn(qb))
+        jax.block_until_ready(outs)
+        best = max(best, reps * nq / (time.perf_counter() - t0))
+    return best
+
+
+def fingerprint(x: np.ndarray) -> float:
+    return float(np.asarray(x[:: max(1, x.shape[0] // 4096)], np.float64).sum())
+
+
+def main():
+    from zvdb_tpu import (CagraConfig, CagraIndex, FlatConfig, FlatIndex,
+                          IVFConfig, IVFIndex)
+    from zvdb_tpu.bench.harness import recall_at_k
+    from zvdb_tpu.io.datasets import load_dataset, synthetic_clustered
+
+    d, nq, k = 128, 10_000, 10
+    rng = np.random.default_rng(9)
+    _ = rng.integers(0, 100_000, nq)
+    _ = rng.standard_normal((nq, d))
+
+    t0 = time.time()
+    _ = float((jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum())
+    log(f"device init {time.time()-t0:.1f}s")
+
+    # ---- A. 1M graph builds on the device pack ---------------------------
+    try:
+        n1 = 1_000_000
+        x1 = synthetic_clustered(n1, d, n_clusters=10_000, seed=0)
+        q1 = (x1[rng.integers(0, n1, nq)]
+              + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
+        gt1_cache = f"/tmp/zvdb_gt1m_{d}_{nq}_{k}.npz"
+        gt1 = np.load(gt1_cache)["gt"] if os.path.exists(gt1_cache) else None
+        x1d = jax.device_put(x1)
+        jax.block_until_ready(x1d)
+        del x1
+        gc.collect()
+        for cv in (dict(passes=2, spill=2), dict(passes=1, spill=4)):
+            cfg1 = CagraConfig(dim=d, degree=32, metric="l2",
+                               block_topk="pallas", n_anchors=262144,
+                               search_degree=16, max_iters=4, ef_search=12,
+                               block=1024, **cv)
+            warm = CagraIndex(cfg1)
+            warm.build(x1d)
+            jax.block_until_ready(warm.state)
+            del warm
+            bt = float("inf")
+            for _ in range(2):
+                idx1 = CagraIndex(cfg1)
+                t0 = time.perf_counter()
+                idx1.build(x1d)
+                jax.block_until_ready(idx1.state)
+                bt = min(bt, time.perf_counter() - t0)
+            recs = {}
+            if gt1 is not None:
+                for ef in (12, 16):
+                    ids = np.concatenate([
+                        np.asarray(idx1.search(q1[lo:lo + 5000], k,
+                                               ef_search=ef)[1])
+                        for lo in range(0, nq, 5000)])
+                    recs[ef] = round(recall_at_k(ids, gt1, k), 4)
+            emit(exp="build_1m_devpack", **cv, s=round(bt, 2),
+                 pps=round(n1 / bt, 1), recall=recs)
+            del idx1
+            gc.collect()
+        del x1d
+        gc.collect()
+    except Exception as e:
+        emit(exp="build_1m_devpack", error=repr(e)[:300])
+
+    # ---- B. DEEP-10M ------------------------------------------------------
+    try:
+        n10, d10 = 10_000_000, 96
+        x_cache = f"/tmp/zvdb_deep10m_{n10}_{d10}.npy"
+        if os.path.exists(x_cache):
+            x10 = np.load(x_cache)
+        else:
+            x10, _, _, _ = load_dataset("deep10m", max_rows=n10)
+            np.save(x_cache, x10)
+        rq = np.random.default_rng(777)
+        q10 = (x10[rq.integers(0, n10, nq)]
+               + 0.05 * rq.standard_normal((nq, d10))).astype(np.float32)
+        fp = fingerprint(x10) + float(np.float64(q10[:64].sum()))
+        gt10_cache = f"/tmp/zvdb_gt_deep10m_v2_{n10}_{d10}_{nq}_{k}.npz"
+        gt10 = None
+        if os.path.exists(gt10_cache):
+            z = np.load(gt10_cache)
+            if abs(float(z["fp"]) - fp) < 1e-3 * max(abs(fp), 1.0):
+                gt10 = z["gt"]
+        if gt10 is None:
+            # oracle holds the ONLY device copy (host-chunk adds)
+            oracle = FlatIndex(FlatConfig(dim=d10, precision="highest",
+                                          tile_n=262144), capacity=n10)
+            for lo in range(0, n10, 1_000_000):
+                oracle.add(x10[lo:lo + 1_000_000])
+            jax.block_until_ready(oracle.state)
+            gt10 = np.concatenate([
+                np.asarray(oracle.search(q10[lo:lo + 1024], k)[1])
+                for lo in range(0, nq, 1024)])
+            np.savez(gt10_cache, gt=gt10, fp=np.float64(fp))
+            del oracle
+            gc.collect()
+            time.sleep(2)
+        log("deep10m gt ready (fresh)")
+
+        x10d = jax.device_put(x10)
+        jax.block_until_ready(x10d)
+        del x10
+        gc.collect()
+        cfg10 = IVFConfig(dim=d10, n_clusters=16384, metric="l2",
+                          dtype="int8", rerank=4, kmeans_iters=6,
+                          kmeans_sample=131072)
+        ivf = IVFIndex(cfg10)
+        t0 = time.perf_counter()
+        ivf.build(x10d)
+        jax.block_until_ready(ivf.state)
+        dt = time.perf_counter() - t0
+        emit(exp="deep10m_build_device", s=round(dt, 1),
+             pps=round(n10 / dt, 1))
+        del x10d
+        gc.collect()
+        staged = [jax.device_put(jnp.asarray(q10[lo:lo + 2048]))
+                  for lo in range(0, nq, 2048)]
+        jax.block_until_ready(staged)
+        for npb in (8, 16, 24):
+            ids = np.concatenate([
+                np.asarray(ivf.search(qb, k, nprobe=npb)[1])
+                for qb in staged])
+            rec = recall_at_k(ids, gt10, k)
+            qps = timed_qps(lambda qb: ivf.search(qb, k, nprobe=npb), staged)
+            emit(exp="deep10m_search", nprobe=npb, recall=round(rec, 4),
+                 qps=round(qps, 1))
+    except Exception as e:
+        emit(exp="deep10m", error=repr(e)[:300])
+
+
+if __name__ == "__main__":
+    main()

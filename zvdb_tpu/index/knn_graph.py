@@ -136,6 +136,77 @@ def _pack_blocks(assign: np.ndarray, c: int, bcap: int):
     return block_pts, block_occ, int((~keep).sum())
 
 
+@functools.partial(jax.jit, static_argnames=("c", "bcap", "spill"))
+def _pack_core(assign, c: int, bcap: int, spill: int):
+    """Device-side _pack_blocks: same (point, rank) -> per-cluster block
+    tables, built from one lax.sort instead of a host lexsort + scatter.
+
+    The host pack costs 3.5-6.5 s of single-core numpy at 1M x spill 2 (and
+    the packed tables then re-upload through the 40 MB/s relay); on device the
+    sort is ~ms and the tables never leave HBM. Returns (block_pts [c, bcap],
+    block_occ [c, bcap], n_missing scalar, morder [n] int32) where morder
+    orders points by (present, rank-0 cluster) so the first n_missing entries
+    are exactly the host pack's presence-overflow set in its order.
+    """
+    n, sp_w = assign.shape
+    cluster = assign.reshape(-1).astype(jnp.int32)
+    rank = jnp.tile(jnp.arange(sp_w, dtype=jnp.int32), (n,))
+    point = jnp.repeat(jnp.arange(n, dtype=jnp.int32), sp_w)
+    # composite key reproduces lexsort((rank, cluster)); c*spill stays far
+    # below 2^31 for any corpus this engine packs
+    order = jnp.argsort(cluster * sp_w + rank)
+    sc = jnp.take(cluster, order)
+    sr = jnp.take(rank, order)
+    sp = jnp.take(point, order)
+    first = jnp.searchsorted(sc, jnp.arange(c, dtype=jnp.int32), side="left")
+    pos = jnp.arange(n * sp_w, dtype=jnp.int32) - jnp.take(first, sc)
+    keep = pos < bcap
+    wp = jnp.where(keep, sc, c)                      # row c = trash
+    wpos = jnp.clip(pos, 0, bcap - 1)
+    block_pts = jnp.full((c + 1, bcap), -1, jnp.int32) \
+        .at[wp, wpos].set(jnp.where(keep, sp, -1))
+    block_occ = jnp.zeros((c + 1, bcap), jnp.int32) \
+        .at[wp, wpos].set(jnp.where(keep, sr, 0))
+    present = jnp.zeros((n + 1,), bool) \
+        .at[jnp.where(keep, sp, n)].set(True)[:n]
+    n_missing = jnp.sum(~present).astype(jnp.int32)
+    # absent points first, grouped by their rank-0 cluster (stable lexsort
+    # == the host pack's kind="stable" ordering; int32-safe — no x64 dep)
+    morder = jnp.lexsort((assign[:, 0], present)).astype(jnp.int32)
+    return block_pts[:c], block_occ[:c], n_missing, morder
+
+
+@functools.partial(jax.jit, static_argnames=("c", "reps"))
+def _reps_chain_device(assign0, s0, c: int, reps: int):
+    """Device-side representative rows + cluster chain (see the host block in
+    _build_steps for the rationale). Returns (c_rows [c, reps] int32,
+    chain [n] int32 successor-or--1)."""
+    n = assign0.shape[0]
+    order = jnp.lexsort((s0, assign0)).astype(jnp.int32)
+    sa0 = jnp.take(assign0, order)
+    cl = jnp.arange(c, dtype=sa0.dtype)
+    starts = jnp.searchsorted(sa0, cl, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sa0, cl, side="right").astype(jnp.int32)
+    span = jnp.maximum(ends - starts, 1)
+    has = ends > starts
+    cols = []
+    for r in range(reps):
+        frac = r / max(reps, 1)
+        pos = starts + jnp.minimum((frac * span).astype(jnp.int32),
+                                   jnp.maximum(ends - starts - 1, 0))
+        pos = jnp.clip(pos, 0, n - 1)
+        cols.append(jnp.where(has, jnp.take(order, pos), 0))
+    c_rows = jnp.stack(cols, axis=1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos_next = idx + 1
+    is_last = pos_next >= jnp.take(ends, sa0)
+    pos_next = jnp.where(is_last, jnp.take(starts, sa0), pos_next)
+    chain = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.take(order, pos_next))
+    chain = jnp.where(chain == idx, -1, chain)       # singleton clusters
+    return c_rows, chain
+
+
 # ---------------------------------------------------------------------------
 # per-block brute-force kNN + candidate scatter
 
@@ -293,6 +364,7 @@ def build_knn_graph(
     chain: bool = True,
     kmeans_sample: int = 65536,
     segments=None,
+    pack: str = "device",
 ) -> Tuple[np.ndarray, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Build a `degree`-regular approximate kNN graph over x [N, D].
 
@@ -325,7 +397,7 @@ def build_knn_graph(
         balance_slack=balance_slack, prune_chunk=prune_chunk,
         reverse_chunk=reverse_chunk, reps=reps, n_long=n_long,
         kc_per_view=kc_per_view, prune_cap=prune_cap, block_topk=block_topk,
-        chain=chain, kmeans_sample=kmeans_sample, segments=segments,
+        chain=chain, kmeans_sample=kmeans_sample, segments=segments, pack=pack,
     )
     with ctx:
         try:
@@ -411,6 +483,7 @@ def _build_steps(
     chain: bool = True,
     kmeans_sample: int = 65536,
     segments=None,
+    pack: str = "device",
 ):
     """Generator form of the graph build: yields tuples of device arrays at
     each host-sync point and expects the pulled numpy values back via send().
@@ -489,43 +562,92 @@ def _build_steps(
                     [s.astype(jnp.float32) for s in segments], axis=0)
                 xn = D.sq_norms(xj) if metric == "l2" \
                     else jnp.zeros((n,), jnp.float32)
-                pulled = yield tuple(per_seg)
-                assign_np = np.concatenate(pulled[0::2], axis=0)
-                s0n = np.concatenate(pulled[1::2], axis=0)
+                if pack == "device":
+                    assign = jnp.concatenate(per_seg[0::2], axis=0)
+                    s0 = jnp.concatenate(per_seg[1::2], axis=0)
+                    assign_np = s0n = None
+                else:
+                    pulled = yield tuple(per_seg)
+                    assign_np = np.concatenate(pulled[0::2], axis=0)
+                    s0n = np.concatenate(pulled[1::2], axis=0)
             else:
                 centj = _kmeans_device(xj, c, kmeans_iters, sub,
                                        sample=min(n, kmeans_sample))
                 mark(f"p{p}:kmeans", centj)
                 cn = D.sq_norms(centj) if metric == "l2" else jnp.zeros((c,), jnp.float32)
                 assign, s0 = _assign_spill(xj, xn, centj, cn, min(spill, c), metric)
-                # host-sync point: the pack below needs the assignment on the
-                # host. Yield so a multi-shard driver can dispatch other
-                # shards' device work before blocking on this pull.
-                assign_np, s0n = yield (assign, s0)
+                if pack == "device":
+                    assign_np = s0n = None
+                else:
+                    # host-sync point: the pack below needs the assignment on
+                    # the host. Yield so a multi-shard driver can dispatch
+                    # other shards' device work before blocking on this pull.
+                    assign_np, s0n = yield (assign, s0)
             mark(f"p{p}:assign+pull")
-            if assign_np.shape[1] < spill:   # c < spill: replicate
-                assign_np = np.pad(assign_np,
-                                   ((0, 0), (0, spill - assign_np.shape[1])),
-                                   mode="edge")
             bcap = max(8, int(math.ceil(balance_slack * spill * n / c / 8.0)) * 8)
             bcap = min(bcap, n * spill)
-            block_pts, block_occ, _dropped = _pack_blocks(assign_np, c, bcap)
-            mark(f"p{p}:host-pack")
+            if pack == "device":
+                # assignment/sort/scatter stay in HBM; the only host syncs are
+                # the n_missing scalar (and, rarely, the overflow order pull)
+                if assign.shape[1] < spill:   # c < spill: replicate
+                    assign = jnp.pad(
+                        assign, ((0, 0), (0, spill - assign.shape[1])),
+                        mode="edge")
+                bp_j, bo_j, nmiss, morder = _pack_core(assign, c, bcap, spill)
+                (nm_np,) = yield (nmiss,)
+                nm = int(nm_np)
+                if nm > 0:
+                    # presence-overflow blocks: tiny, host-shaped (row count is
+                    # data-dependent — a device-side version would recompile
+                    # per distinct count through the remote compile service)
+                    (morder_np,) = yield (morder,)
+                    mm = morder_np[:nm].astype(np.int32)
+                    rows = -(-nm // bcap)
+                    extra = np.full((rows, bcap), -1, np.int32)
+                    extra.reshape(-1)[: nm] = mm
+                    bp_j = jnp.concatenate([bp_j, jnp.asarray(extra)], axis=0)
+                    bo_j = jnp.concatenate(
+                        [bo_j, jnp.zeros((rows, bcap), jnp.int32)], axis=0)
+                mark(f"p{p}:host-pack")
+                c_blocks = bp_j.shape[0]
+                cc = max(1, (1 << 25) // max(bcap * bcap, 1))
+                pad_rows = (-c_blocks) % cc
+                if pad_rows:
+                    bp_j = jnp.pad(bp_j, ((0, pad_rows), (0, 0)),
+                                   constant_values=-1)
+                    bo_j = jnp.pad(bo_j, ((0, pad_rows), (0, 0)))
+                for lo in range(0, c_blocks, cc):
+                    cand_s, cand_i = _block_knn_scatter(
+                        xj, xn,
+                        jax.lax.dynamic_slice_in_dim(bp_j, lo, cc, 0),
+                        jax.lax.dynamic_slice_in_dim(bo_j, lo, cc, 0),
+                        jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
+                        kc, metric, sel=block_topk,
+                    )
+                del bp_j, bo_j
+            else:
+                if assign_np.shape[1] < spill:   # c < spill: replicate
+                    assign_np = np.pad(
+                        assign_np,
+                        ((0, 0), (0, spill - assign_np.shape[1])),
+                        mode="edge")
+                block_pts, block_occ, _dropped = _pack_blocks(assign_np, c, bcap)
+                mark(f"p{p}:host-pack")
 
-            # chunk clusters so the [cc, B, B] score tensor stays ~128 MB
-            c_blocks = block_pts.shape[0]   # includes presence-overflow blocks
-            cc = max(1, (1 << 25) // max(bcap * bcap, 1))
-            for lo in range(0, c_blocks, cc):
-                hi = min(lo + cc, c_blocks)
-                bp = np.full((cc, bcap), -1, np.int32)
-                bo = np.zeros((cc, bcap), np.int32)
-                bp[: hi - lo] = block_pts[lo:hi]
-                bo[: hi - lo] = block_occ[lo:hi]
-                cand_s, cand_i = _block_knn_scatter(
-                    xj, xn, jnp.asarray(bp), jnp.asarray(bo),
-                    jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
-                    kc, metric, sel=block_topk,
-                )
+                # chunk clusters so the [cc, B, B] score tensor stays ~128 MB
+                c_blocks = block_pts.shape[0]  # incl. presence-overflow blocks
+                cc = max(1, (1 << 25) // max(bcap * bcap, 1))
+                for lo in range(0, c_blocks, cc):
+                    hi = min(lo + cc, c_blocks)
+                    bp = np.full((cc, bcap), -1, np.int32)
+                    bo = np.zeros((cc, bcap), np.int32)
+                    bp[: hi - lo] = block_pts[lo:hi]
+                    bo[: hi - lo] = block_occ[lo:hi]
+                    cand_s, cand_i = _block_knn_scatter(
+                        xj, xn, jnp.asarray(bp), jnp.asarray(bo),
+                        jnp.asarray(p * spill, jnp.int32), cand_s, cand_i,
+                        kc, metric, sel=block_topk,
+                    )
             mark(f"p{p}:block-knn", cand_s)
 
             if p == passes - 1:
@@ -534,24 +656,7 @@ def _build_steps(
                 # the cluster's distance-to-centroid order (slot 0 = medoid).
                 # Evenly spaced distance bands tend to hit different natural
                 # subclusters when the k-means cluster straddles several.
-                a0 = assign_np[:, 0]
-                # s0n was pulled alongside the assignment at the yield
-                order = np.lexsort((s0n, a0))
-                sa0 = a0[order]
-                starts = np.searchsorted(sa0, np.arange(c), side="left")
-                ends = np.searchsorted(sa0, np.arange(c), side="right")
-                c_rows_np = np.zeros((c, reps), np.int32)
-                for r in range(reps):
-                    frac = r / max(reps, 1)
-                    pos = starts + np.minimum(
-                        (frac * np.maximum(ends - starts, 1)).astype(np.int64),
-                        np.maximum(ends - starts - 1, 0),
-                    )
-                    pos = np.clip(pos, 0, n - 1)
-                    has = ends > starts
-                    c_rows_np[:, r] = np.where(has, order[pos], 0)
-                c_rows = jnp.asarray(c_rows_np)
-                # chain successor: each point -> the next point of its
+                # Chain successor: each point -> the next point of its
                 # cluster in distance-to-centroid order (wrapping). Stamped
                 # as a guaranteed edge after the reverse pass: on
                 # duplicate-heavy data, distance-pruned rows collapse into
@@ -560,13 +665,35 @@ def _build_steps(
                 # unreachable at any ef). The chain gives every point an
                 # in-edge from a cluster-mate, so reaching ANY point of a
                 # cluster makes the whole cluster reachable.
-                idx_n = np.arange(n)
-                pos_next = idx_n + 1
-                is_last = pos_next >= ends[sa0]
-                pos_next = np.where(is_last, starts[sa0], pos_next)
-                chain_np = np.full(n, -1, np.int64)
-                chain_np[order] = order[pos_next]
-                chain_np[chain_np == idx_n] = -1   # singleton clusters
+                if pack == "device":
+                    c_rows, chain_np = _reps_chain_device(
+                        assign[:, 0], s0, c, reps)
+                else:
+                    a0 = assign_np[:, 0]
+                    # s0n was pulled alongside the assignment at the yield
+                    order = np.lexsort((s0n, a0))
+                    sa0 = a0[order]
+                    starts = np.searchsorted(sa0, np.arange(c), side="left")
+                    ends = np.searchsorted(sa0, np.arange(c), side="right")
+                    c_rows_np = np.zeros((c, reps), np.int32)
+                    for r in range(reps):
+                        frac = r / max(reps, 1)
+                        pos = starts + np.minimum(
+                            (frac * np.maximum(ends - starts, 1))
+                            .astype(np.int64),
+                            np.maximum(ends - starts - 1, 0),
+                        )
+                        pos = np.clip(pos, 0, n - 1)
+                        has = ends > starts
+                        c_rows_np[:, r] = np.where(has, order[pos], 0)
+                    c_rows = jnp.asarray(c_rows_np)
+                    idx_n = np.arange(n)
+                    pos_next = idx_n + 1
+                    is_last = pos_next >= ends[sa0]
+                    pos_next = np.where(is_last, starts[sa0], pos_next)
+                    chain_np = np.full(n, -1, np.int64)
+                    chain_np[order] = order[pos_next]
+                    chain_np[chain_np == idx_n] = -1   # singleton clusters
                 mark("reps")
 
         # ---- merge + prune ------------------------------------------------
