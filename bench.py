@@ -255,6 +255,19 @@ def main():
             hnsw.build(x)
             jax.block_until_ready(hnsw.state)
             hnsw_build_s = min(hnsw_build_s, time.perf_counter() - t0)
+        # device-resident corpus build (oneshot path keeps device arrays
+        # resident; the host number above includes the 1.15 s relay upload)
+        xd = jax.device_put(x)
+        jax.block_until_ready(xd)
+        hnsw_build_dev_s = float("inf")
+        for _ in range(2):
+            hdev = hnsw_factory()
+            t0 = time.perf_counter()
+            hdev.build(xd)
+            jax.block_until_ready(hdev.state)
+            hnsw_build_dev_s = min(hnsw_build_dev_s,
+                                   time.perf_counter() - t0)
+        del hdev, xd
         hnsw_ef = None
         hnsw_recall = 0.0
         for ef in (16, 24, 32, 48, 64, 96):
@@ -271,9 +284,12 @@ def main():
             lambda qq: hnsw.search(qq, k, ef_search=hnsw_ef), q, 5000, reps=2
         )
         log(f"hnsw: recall={hnsw_recall:.4f} qps={hnsw_qps:,.0f} "
-            f"build={n/hnsw_build_s:,.0f} pts/s (ef={hnsw_ef})")
+            f"build={n/hnsw_build_s:,.0f} pts/s "
+            f"(device-resident {n/hnsw_build_dev_s:,.0f}) (ef={hnsw_ef})")
         results["hnsw"] = dict(recall=hnsw_recall, qps=hnsw_qps,
-                               build_pps=n / hnsw_build_s, ef=hnsw_ef)
+                               build_pps=n / hnsw_build_s,
+                               build_pps_device=n / hnsw_build_dev_s,
+                               ef=hnsw_ef)
     except Exception as e:
         log(f"hnsw failed: {e!r}")
 
@@ -382,6 +398,11 @@ def main():
     if best is None:
         best_name, best = max(results_100k.items(), key=lambda kv: kv[1]["recall"])
 
+    # device-resident build (no relay upload) is the hardware-representative
+    # build number: the 51 MB corpus costs 1.15 s through this tunnel's
+    # 40 MB/s single-stream upload (measured floor — chunked/concurrent
+    # device_put does not beat it) vs ~5 ms on real v5e PCIe. Both are
+    # reported; the host number keeps the upload in.
     out = {
         "metric": "qps_at_recall0.95@10_100k_128d_sift_like",
         "value": round(best["qps"], 1),
@@ -390,7 +411,12 @@ def main():
         "engine": best_name,
         "recall": round(best["recall"], 4),
         "build_pts_per_sec": round(best["build_pps"], 1),
+        "build_pts_per_sec_device": round(
+            best.get("build_pps_device", best["build_pps"]), 1),
         "build_vs_baseline": round(best["build_pps"] / REFERENCE_BUILD, 2),
+        "build_device_vs_baseline": round(
+            best.get("build_pps_device", best["build_pps"])
+            / REFERENCE_BUILD, 2),
         "engines": {k2: {k3: (round(v3, 4) if isinstance(v3, float) else v3)
                          for k3, v3 in v2.items()} for k2, v2 in results.items()},
     }

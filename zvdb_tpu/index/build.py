@@ -714,16 +714,32 @@ def _oneshot_impl(x, cfg, key, capacity, checkpoint_path, resume):
     if n == 0:
         return state, cap, levels_cap
 
-    xs = np.asarray(x, np.float32)
-    if cfg.metric == "cosine":
-        # idempotent, so re-running it on a resumed (already normalized)
-        # corpus is safe
-        xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
-    if cfg.dtype == "int8":
-        amax = float(np.abs(xs).max()) if n else 1.0
-        state = state._replace(
-            q_scale=jnp.asarray(max(amax, 1e-12) / 127.0, jnp.float32)
-        )
+    # DEVICE-RESIDENT corpora stay on device (np.asarray on a jax array would
+    # pull it to the host only to re-upload it one line later — a full relay
+    # round-trip); host corpora take the numpy path unchanged.
+    on_device = isinstance(x, jax.Array)
+    if on_device:
+        xs = x.astype(jnp.float32)
+        if cfg.metric == "cosine":
+            xs = xs / jnp.maximum(
+                jnp.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        if cfg.dtype == "int8":
+            amax = float(jnp.abs(xs).max()) if n else 1.0
+            state = state._replace(
+                q_scale=jnp.asarray(max(amax, 1e-12) / 127.0, jnp.float32)
+            )
+    else:
+        xs = np.asarray(x, np.float32)
+        if cfg.metric == "cosine":
+            # idempotent, so re-running it on a resumed (already normalized)
+            # corpus is safe
+            xs = xs / np.maximum(
+                np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        if cfg.dtype == "int8":
+            amax = float(np.abs(xs).max()) if n else 1.0
+            state = state._replace(
+                q_scale=jnp.asarray(max(amax, 1e-12) / 127.0, jnp.float32)
+            )
 
     prec = cfg.precision if cfg.precision != "default" else "high"
     key0 = key   # saved in the checkpoint; resume replays the same splits

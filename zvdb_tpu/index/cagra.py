@@ -62,6 +62,13 @@ class CagraConfig:
     metric: str = "l2"
     dtype: str = "float32"        # float32 | bfloat16 | int8 (per-tensor codes)
     # --- construction (see knn_graph.build_knn_graph) ---
+    # Measured (v5e, device-resident 100k x 128d, device-side pack, warm):
+    #   passes=2 spill=2 (default): 85.8k pts/s, recall@10 0.9979 (ef=12)
+    #   passes=1 spill=4:           95.2k pts/s, 0.9910
+    #   passes=1 spill=3:          117.0k pts/s, 0.9813-0.9839
+    #   passes=1 spill=2:          147.8k pts/s, 0.9868 (drops to 0.938 at 1M)
+    # The default keeps the two independent clustering views: boundary-loss
+    # repair is what holds recall above 0.99 as N grows.
     block: int = 1024             # target cluster/block size
     spill: int = 2                # clusters each point joins per pass
     passes: int = 2               # independent clustering passes
