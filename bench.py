@@ -152,14 +152,22 @@ def main():
         ivf_build_s = time.perf_counter() - t0
         # device-resident corpus build (no relay upload — the
         # hardware-representative number: real v5e PCIe moves this corpus in
-        # ~5 ms where the relay tunnel takes 1.15 s)
+        # ~5 ms where the relay tunnel takes 1.15 s). Warm first: the
+        # device-split programs are distinct from the host build's
         xd = jax.device_put(x)
         jax.block_until_ready(xd)
-        ivf_dev = IVFIndex(ivf_cfg)
-        t0 = time.perf_counter()
-        ivf_dev.build(xd)
-        jax.block_until_ready(ivf_dev.state)
-        ivf_build_dev_s = time.perf_counter() - t0
+        warm = IVFIndex(ivf_cfg)
+        warm.build(xd)
+        jax.block_until_ready(warm.state)
+        del warm
+        ivf_build_dev_s = float("inf")
+        for _ in range(2):
+            ivf_dev = IVFIndex(ivf_cfg)
+            t0 = time.perf_counter()
+            ivf_dev.build(xd)
+            jax.block_until_ready(ivf_dev.state)
+            ivf_build_dev_s = min(ivf_build_dev_s,
+                                  time.perf_counter() - t0)
         del ivf_dev, xd
         best_ivf = None
         for npb in (2, 4, 8):
@@ -365,13 +373,29 @@ def main():
         # sweep: 130.3k QPS @ 0.9838; ef=16/sd=24/mi=6: 75.7k @ 0.9958)
         from zvdb_tpu import CagraConfig, CagraIndex
 
-        cg1 = CagraIndex(CagraConfig(
-            dim=d, degree=32, metric=metric, n_anchors=262144,
-            search_degree=16, max_iters=4, ef_search=12))
-        t0 = time.perf_counter()
+        def cg1_factory():
+            return CagraIndex(CagraConfig(
+                dim=d, degree=32, metric=metric, n_anchors=262144,
+                search_degree=16, max_iters=4, ef_search=12))
+
+        cg1 = cg1_factory()          # pays the one-off 1M-shape compiles
+        cg1.build(x1)
+        jax.block_until_ready(cg1.state)
+        t0 = time.perf_counter()     # warm host-corpus rebuild
+        cg1 = cg1_factory()
         cg1.build(x1)
         jax.block_until_ready(cg1.state)
         cb1 = time.perf_counter() - t0
+        # device-resident 1M build (the 512 MB host corpus costs ~13 s
+        # through the relay's 40 MB/s upload; real v5e PCIe ~50 ms)
+        xd1 = jax.device_put(x1)
+        jax.block_until_ready(xd1)
+        cgd = cg1_factory()
+        t0 = time.perf_counter()
+        cgd.build(xd1)
+        jax.block_until_ready(cgd.state)
+        cb1_dev = time.perf_counter() - t0
+        del cgd, xd1
         idsg = np.concatenate([
             np.asarray(cg1.search(q1[lo:lo + 5000], k, ef_search=12)[1])
             for lo in range(0, nq, 5000)
@@ -379,9 +403,10 @@ def main():
         rg = recall_at_k(idsg, gt1, k)
         qpsg = timed_qps(
             lambda qq: cg1.search(qq, k, ef_search=12), q1, 5000, reps=3)
-        log(f"cagra 1M: recall={rg:.4f} qps={qpsg:,.0f} build={n1/cb1:,.0f} pts/s")
+        log(f"cagra 1M: recall={rg:.4f} qps={qpsg:,.0f} build={n1/cb1:,.0f} "
+            f"pts/s (device-resident {n1/cb1_dev:,.0f})")
         results["cagra_1m"] = dict(recall=rg, qps=qpsg, build_pps=n1 / cb1,
-                                   ef=12)
+                                   build_pps_device=n1 / cb1_dev, ef=12)
         del cg1, x1
     except Exception as e:
         log(f"1M config failed: {e!r}")

@@ -518,9 +518,13 @@ class HNSW:
           upper-layer/anchor epilogue."""
         from .build import bulk_build, bulk_build_oneshot  # local: avoid cycle
 
-        x = np.asarray(x, dtype=np.float32)
         mode = self.cfg.build_mode
         oneshot = mode == "oneshot" or (mode == "auto" and not checkpoint_path)
+        # device-resident corpora stay on device through the oneshot build
+        # (pulling them here would cost a relay download AND a re-upload);
+        # the batched path is host-driven and still needs numpy
+        if not (oneshot and isinstance(x, jax.Array)):
+            x = np.asarray(x, dtype=np.float32)
         with self._lock:
             self._pending = []
             self._n_inserted = x.shape[0]

@@ -261,17 +261,6 @@ def _two_means(sub: np.ndarray, rng: np.random.Generator, iters: int = 4):
     return c0, c1
 
 
-class _DeviceRows:
-    """Row-pull adapter for split_oversized over a device-resident corpus:
-    x[pts] gathers on device and pulls only those rows to the host."""
-
-    def __init__(self, xd):
-        self.xd = xd
-
-    def __getitem__(self, idx):
-        return np.asarray(jnp.take(self.xd, jnp.asarray(idx), axis=0))
-
-
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _batched_two_means(xd, members, iters: int = 4):
     """Two-means over many clusters at once: members [O, M] int32 (-1 pad).
@@ -766,17 +755,18 @@ class IVFIndex:
             cap_split = int(math.ceil(cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8
             cap_split = max(cap_split, 8)
             rng = np.random.default_rng(cfg.seed + 1)
-            if n >= 500_000:
+            if n >= 500_000 or on_device:
                 # device-vectorized split: the host two-means loop measured
-                # 124-131 s at DEEP-10M on this 1-core host
+                # 124-131 s at DEEP-10M on this 1-core host. Device-resident
+                # corpora use it at EVERY size: the on-demand _DeviceRows
+                # pulls mint a fresh remote compile per distinct oversized-
+                # cluster gather shape (measured 100 s cold at 100k), while
+                # the batched split's pow2 shape buckets bound compiles
                 cent_np, assign = split_oversized_device(
                     xd, np.asarray(cent), assign, cap_split)
             else:
-                # device path: split touches only oversized clusters'
-                # members — pull those rows on demand, not the whole corpus
-                x_rows = _DeviceRows(xd) if on_device else x
                 cent_np, assign = split_oversized(
-                    x_rows, np.asarray(cent), assign, cap_split, rng)
+                    x, np.asarray(cent), assign, cap_split, rng)
             mark("split")
             cap = self._occupancy_cap(assign, len(cent_np))
             if n >= 500_000:   # host stable argsort measured 6-16 s at 10M
