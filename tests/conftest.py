@@ -21,12 +21,30 @@ import jax  # noqa: E402
 if not os.environ.get("ZVDB_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache — repeated pytest runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+# persistent compile cache — repeated pytest runs skip recompilation.
+# CPU tests use their OWN cache dir: sharing /tmp/zvdb_jax_cache with TPU
+# bench processes produced a corrupt entry that segfaulted the reader
+# (jax compilation_cache get_executable_and_time) when both ran concurrently
+jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables between test modules.
+
+    A single pytest process accumulates hundreds of XLA CPU executables; at
+    ~module 19 of 26 the NEXT compile segfaults inside XLA
+    (backend_compile_and_load — reproduced 3/3 on this image, same test,
+    cold or warm persistent cache, while the same module passes in a fresh
+    process). Dropping executable references between modules keeps the
+    process below the crash threshold; the persistent compile cache makes
+    re-compiles cheap."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
