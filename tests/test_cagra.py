@@ -192,3 +192,30 @@ def test_segmented_upload_overlap_build(rng, monkeypatch):
     idx.build(x[:5997])   # odd n exercises the tail segment
     ids = np.asarray(idx.search(x[:512], 1, ef_search=24)[1])
     assert (ids[:, 0] == np.arange(512)).mean() >= 0.9
+
+
+def test_search_knob_overrides_match_config():
+    """Per-call search_degree/max_iters overrides must produce exactly the
+    results of an identically-configured index (search-time-only knobs; the
+    graph state is untouched)."""
+    import dataclasses
+
+    x = clustered(4000, 16, seed=21)
+    q = x[:128]
+    base = CagraConfig(dim=16, degree=16, search_degree=24, max_iters=8, seed=5)
+    idx = CagraIndex(base)
+    idx.build(x)
+    s_o, i_o = idx.search(q, 5, ef_search=16, search_degree=8, max_iters=3)
+    # same state under the overridden config
+    other = CagraIndex(
+        dataclasses.replace(base, search_degree=8, max_iters=3))
+    other.state = idx.state
+    s_c, i_c = other.search(q, 5, ef_search=16)
+    np.testing.assert_array_equal(np.asarray(i_o), np.asarray(i_c))
+    np.testing.assert_allclose(np.asarray(s_o), np.asarray(s_c), rtol=1e-6)
+    # and overrides don't stick: a plain search matches the original config
+    s_a, i_a = idx.search(q, 5, ef_search=16)
+    other2 = CagraIndex(base)
+    other2.state = idx.state
+    s_b, i_b = other2.search(q, 5, ef_search=16)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))

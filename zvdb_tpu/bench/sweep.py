@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -51,7 +52,17 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # The axon sitecustomize re-pins jax_platforms to the TPU tunnel at
+        # interpreter start, overriding the env var — honor an explicit CPU
+        # request here (CI/verification surface; also the only way to run
+        # the sweep when the TPU relay is down). CPU uses its own compile
+        # cache: sharing the TPU cache dir corrupted entries when both
+        # backends wrote concurrently (see tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
 
     from zvdb_tpu import (
         CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,

@@ -646,9 +646,14 @@ class CagraIndex:
             a_norms=st.a_norms, a_rows=st.a_rows, n=st.n, q_scale=st.q_scale,
         )
 
-    def search(self, q, k: int, ef_search: Optional[int] = None):
+    def search(self, q, k: int, ef_search: Optional[int] = None,
+               search_degree: Optional[int] = None,
+               max_iters: Optional[int] = None):
         """kNN search. q [D] or [B, D] -> (scores, ids) [B, k] ([k] squeezed).
-        Invalid slots: id -1 (reference returns < k results when n < k)."""
+        Invalid slots: id -1 (reference returns < k results when n < k).
+        ef_search / search_degree / max_iters override the config per call
+        (search-time-only knobs — the graph is unchanged; each distinct
+        combination is its own compiled program)."""
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -667,9 +672,12 @@ class CagraIndex:
                 s, i = cagra_search(
                     self._search_arrays(), q, k, cfg.metric,
                     ef_search if ef_search is not None else cfg.ef_search,
-                    cfg.n_seeds, cfg.expand, cfg.max_iters, cfg.precision,
+                    cfg.n_seeds, cfg.expand,
+                    max_iters if max_iters is not None else cfg.max_iters,
+                    cfg.precision,
                     cfg.packed, self._fat_enabled(), True, cfg.seed_approx,
-                    cfg.search_degree,
+                    search_degree if search_degree is not None
+                    else cfg.search_degree,
                 )
             if squeeze:
                 return s[0], i[0]
