@@ -219,3 +219,23 @@ def test_search_knob_overrides_match_config():
     other2.state = idx.state
     s_b, i_b = other2.search(q, 5, ef_search=16)
     np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+
+
+def test_hnsw_search_knob_overrides_match_config():
+    """HNSW per-call search_degree/max_iters match an index whose search_cfg
+    carries the same values (API symmetry with CagraIndex.search)."""
+    import dataclasses
+
+    x = clustered(4000, 16, seed=22)
+    q = x[:128]
+    idx = HNSW(HNSWConfig(dim=16, m=16, ef_construction=64), seed=7)
+    idx.build(x)
+    s_o, i_o = idx.search(q, 5, ef_search=16, search_degree=8, max_iters=3)
+    other = HNSW(HNSWConfig(dim=16, m=16, ef_construction=64), seed=7)
+    other.state = idx.state
+    other.levels_cap = idx.levels_cap
+    other.search_cfg = dataclasses.replace(
+        other.search_cfg, search_degree=8, max_iters=3)
+    s_c, i_c = other.search(q, 5, ef_search=16)
+    np.testing.assert_array_equal(np.asarray(i_o), np.asarray(i_c))
+    np.testing.assert_allclose(np.asarray(s_o), np.asarray(s_c), rtol=1e-6)

@@ -595,11 +595,16 @@ class HNSW:
             self._anchor_n = n_now
 
     # -- search -----------------------------------------------------------
-    def search(self, q, k: int, ef_search: Optional[int] = None):
+    def search(self, q, k: int, ef_search: Optional[int] = None,
+               search_degree: Optional[int] = None,
+               max_iters: Optional[int] = None):
         """kNN search. q: [D] or [B, D]. Returns (scores, ids) with shape [B, k]
         ([k] for a single query). Trailing invalid slots have id -1 (the
         reference returns fewer-than-k results when n < k,
-        src/test_hnsw.zig:104-126 — fixed shapes + -1 is the TPU analog)."""
+        src/test_hnsw.zig:104-126 — fixed shapes + -1 is the TPU analog).
+        ef_search / search_degree / max_iters override search_cfg per call
+        (search-time-only knobs; each distinct combination is its own
+        compiled program)."""
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -618,10 +623,13 @@ class HNSW:
             else:
                 s, i, _ = search_state(
                     self.state, q, k, self.cfg.metric, ef,
-                    expand=sc.expand, max_iters=sc.max_iters,
+                    expand=sc.expand,
+                    max_iters=(max_iters if max_iters is not None
+                               else sc.max_iters),
                     max_upper_iters=sc.max_upper_iters, levels_cap=self.levels_cap,
                     precision=self.cfg.precision,
-                    search_degree=sc.search_degree,
+                    search_degree=(search_degree if search_degree is not None
+                                   else sc.search_degree),
                     dedupe_candidates=sc.dedupe_candidates,
                     seed_anchors=sc.seed_anchors,
                 )
