@@ -12,6 +12,7 @@ for XLA.
 from __future__ import annotations
 
 import functools
+import json
 from typing import NamedTuple, Optional
 
 import jax
@@ -222,16 +223,23 @@ class FlatIndex:
         self.state: Optional[FlatState] = (
             init_state(self.capacity, cfg) if capacity else None
         )
+        self._dead: set[int] = set()   # tombstoned external ids (host mirror)
 
     def __len__(self) -> int:
-        return 0 if self.state is None else int(self.state.n)
+        """Live count (inserted minus deleted)."""
+        return (0 if self.state is None else int(self.state.n)) - len(self._dead)
 
     @property
     def dim(self) -> int:
         return self.cfg.dim
 
+    @property
+    def _n_total(self) -> int:
+        """Slots used, including tombstones (== the next insert id)."""
+        return 0 if self.state is None else int(self.state.n)
+
     def _ensure_capacity(self, extra: int):
-        need = len(self) + extra
+        need = self._n_total + extra
         if self.state is None:
             self.capacity = max(need, 1024)
             self.state = init_state(self.capacity, self.cfg)
@@ -265,18 +273,98 @@ class FlatIndex:
         """Replace contents with corpus x (engine-uniform bulk-build API)."""
         self.state = None
         self.capacity = 0
+        self._dead = set()
         self.add(x)
+
+    def remove(self, ids) -> int:
+        """Delete by external id (tombstone). Ids never renumber — the
+        reference's dense sequential ids (src/hnsw.zig:77) stay stable, and
+        freed slots are NOT reused. On-device this is one scatter setting the
+        rows' norm bias to +inf, which every search path (XLA scan, rerank,
+        Pallas kernel) already treats as "invalid row" for all metrics —
+        deleted rows can never appear in results. HBM is reclaimed by
+        compact(). Returns the number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        n = self._n_total
+        if (ids < 0).any() or (ids >= n).any():
+            raise IndexError(f"ids must be in [0, {n})")
+        new = [int(i) for i in ids if int(i) not in self._dead]
+        if not new:
+            return 0
+        rows = jnp.asarray(np.asarray(new, np.int64))
+        self.state = self.state._replace(
+            norms=self.state.norms.at[rows].set(jnp.inf))
+        self._dead.update(new)
+        return len(new)
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows and renumber the survivors to [0, L) in their
+        former order. Returns the survivors' OLD ids ([L] int64), so
+        new_id == position in the returned array. No re-quantization: stored
+        codes/norms/scales move verbatim."""
+        n = self._n_total
+        live_np = np.asarray(
+            [i for i in range(n) if i not in self._dead], np.int64)
+        if self.state is not None and live_np.size < n:
+            rows = jnp.asarray(live_np)
+            self.state = FlatState(
+                vectors=jnp.take(self.state.vectors, rows, axis=0),
+                norms=jnp.take(self.state.norms, rows, axis=0),
+                scales=jnp.take(self.state.scales, rows, axis=0),
+                n=jnp.asarray(live_np.size, jnp.int32),
+            )
+            self.capacity = int(live_np.size)
+        self._dead = set()
+        return live_np
+
+    def save(self, path: str) -> None:
+        """npz snapshot (config + arrays). Tombstones ride in `norms` (+inf
+        rows), so deletes round-trip with no extra field."""
+        import dataclasses
+
+        if self.state is None:
+            raise ValueError("empty index")
+        np.savez(
+            path,
+            cfg=json.dumps(dataclasses.asdict(self.cfg)),
+            capacity=np.int64(self.capacity),
+            vectors=np.asarray(self.state.vectors),
+            norms=np.asarray(self.state.norms),
+            scales=np.asarray(self.state.scales),
+            n=np.asarray(self.state.n),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIndex":
+        z = np.load(path, allow_pickle=False)
+        cfg = FlatConfig(**json.loads(str(z["cfg"])))
+        idx = cls(cfg)
+        idx.capacity = int(z["capacity"])
+        idx.state = FlatState(
+            vectors=jnp.asarray(z["vectors"]),
+            norms=jnp.asarray(z["norms"]),
+            scales=jnp.asarray(z["scales"]),
+            n=jnp.asarray(z["n"]),
+        )
+        n = int(idx.state.n)
+        dead = np.flatnonzero(np.isinf(np.asarray(z["norms"])[:n]))
+        idx._dead = set(int(i) for i in dead)
+        return idx
 
     def get(self, ids) -> np.ndarray:
         """Stored vectors for external ids (row order = insertion order) ->
         [K, D] f32. Reference parity: search results carry the stored point
         (src/hnsw.zig:235); dequantized for int8, normalized for cosine."""
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        n = len(self)
+        n = self._n_total
         if ids.size == 0:
             return np.zeros((0, self.cfg.dim), np.float32)
         if (ids < 0).any() or (ids >= n).any():
             raise IndexError(f"ids must be in [0, {n})")
+        if self._dead and any(int(i) in self._dead for i in ids):
+            raise IndexError("id was deleted")
         rows = jnp.asarray(ids)
         vecs = np.asarray(
             jnp.take(self.state.vectors, rows, axis=0).astype(jnp.float32)

@@ -370,27 +370,31 @@ def search_state_impl(
     search_degree: Optional[int] = None,
     dedupe_candidates: bool = True,
     seed_anchors: int = 16,
+    dead: Optional[jax.Array] = None,
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
     scores are user-facing (squared L2 per the reference contract, or similarity
-    for dot/cosine). Empty slots: score inf/-inf, ids -1.
+    for dot/cosine). Empty slots: score inf/-inf, ids -1. `dead`: optional
+    [cap+1] bool tombstone mask by internal row — tombstoned nodes route
+    beams but never enter results (mark-and-filter delete).
     """
     if precision != "default":
         with jax.default_matmul_precision(precision):
             return _search_state_body(
                 state, q, k, metric, ef, expand, max_iters, max_upper_iters,
                 levels_cap, search_degree, dedupe_candidates, seed_anchors,
+                dead,
             )
     return _search_state_body(
         state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-        search_degree, dedupe_candidates, seed_anchors,
+        search_degree, dedupe_candidates, seed_anchors, dead,
     )
 
 
 def _search_state_body(
     state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-    search_degree=None, dedupe_candidates=True, seed_anchors=16,
+    search_degree=None, dedupe_candidates=True, seed_anchors=16, dead=None,
 ):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
@@ -415,6 +419,10 @@ def _search_state_body(
     # final dedupe on the (small) beam: results must be unique ids even when
     # in-hop dedupe is disabled for speed
     beam_s, beam_r = T.mask_duplicate_ids(beam_s, beam_r)
+    if dead is not None:
+        hit = jnp.take(dead, jnp.maximum(beam_r, 0)) & (beam_r >= 0)
+        beam_s = jnp.where(hit, INF, beam_s)
+        beam_r = jnp.where(hit, -1, beam_r)
     top_s, top_r = T.smallest_k(beam_s, beam_r, k)
     valid = top_r >= 0
     ext = jnp.where(valid, jnp.take(state.ext_ids, jnp.maximum(top_r, 0)), -1)
@@ -468,6 +476,8 @@ class HNSW:
         self._anchor_n = 0                     # n at last anchor snapshot
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.RLock()
+        self._dead: set[int] = set()           # tombstoned EXTERNAL ids
+        self._dead_rows: Optional[jax.Array] = None  # [cap+1] bool by row
         if capacity:
             self.state = init_state(self.capacity, cfg, self.levels_cap)
 
@@ -476,7 +486,7 @@ class HNSW:
         with self._lock:
             n_dev = 0 if self.state is None else int(self.state.n)
             n_pend = sum(p.shape[0] for p in self._pending)
-            return n_dev + n_pend
+            return n_dev + n_pend - len(self._dead)
 
     @property
     def dim(self) -> int:
@@ -528,6 +538,8 @@ class HNSW:
         with self._lock:
             self._pending = []
             self._n_inserted = x.shape[0]
+            self._dead = set()
+            self._dead_rows = None
             self._key, sub = jax.random.split(self._key)
             if oneshot:
                 self.state, self.capacity, self.levels_cap = bulk_build_oneshot(
@@ -595,6 +607,65 @@ class HNSW:
             self._anchor_n = n_now
 
     # -- search -----------------------------------------------------------
+    def _ext_to_rows(self, ext_ids_np: np.ndarray) -> np.ndarray:
+        """Map external ids -> internal rows via the stored ext_ids table."""
+        ext = np.asarray(self.state.ext_ids)
+        live = ext >= 0
+        inv = np.full(max(self._n_inserted, 1), -1, np.int64)
+        inv[ext[live]] = np.nonzero(live)[0]
+        return inv[ext_ids_np]
+
+    def remove(self, ids) -> int:
+        """Delete by external id (mark-and-filter; the reference has no
+        delete — src/hnsw.zig:77's dense ids are safe only because nothing
+        is removed). Ids never renumber; freed slots are not reused.
+        Tombstoned nodes stay in the graph as traversal waypoints and are
+        filtered from the final beam only, so survivor recall holds.
+        Reclaim capacity with compact(). Returns #newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        with self._lock:
+            self._flush_locked()
+            if (ids < 0).any() or (ids >= self._n_inserted).any():
+                raise IndexError(f"ids must be in [0, {self._n_inserted})")
+            new = np.asarray(
+                [int(i) for i in ids if int(i) not in self._dead], np.int64)
+            if new.size == 0:
+                return 0
+            rows = self._ext_to_rows(new)
+            assert (rows >= 0).all()
+            cap1 = self.state.nbr0.shape[0]        # cap + trash row
+            if self._dead_rows is None or self._dead_rows.shape[0] < cap1:
+                base = jnp.zeros((cap1,), bool)
+                if self._dead_rows is not None:
+                    base = base.at[: self._dead_rows.shape[0]].set(
+                        self._dead_rows)
+                self._dead_rows = base
+            self._dead_rows = self._dead_rows.at[jnp.asarray(rows)].set(True)
+            self._dead.update(int(i) for i in new)
+            return int(new.size)
+
+    def compact(self) -> np.ndarray:
+        """Rebuild without tombstoned rows; survivors renumber to [0, L) in
+        former external-id order. Returns the survivors' OLD external ids
+        (new_id == position). One bulk build — cheap on this engine."""
+        with self._lock:
+            self._flush_locked()
+            live = np.asarray(
+                [i for i in range(self._n_inserted) if i not in self._dead],
+                np.int64)
+            if self.state is None or len(self._dead) == 0:
+                return live
+            rows = self._ext_to_rows(live)
+            vecs = jnp.take(
+                self.state.vectors, jnp.asarray(rows), axis=0
+            ).astype(jnp.float32)
+            if self.cfg.dtype == "int8":
+                vecs = vecs * self.state.q_scale
+        self.build(vecs)
+        return live
+
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
                max_iters: Optional[int] = None):
@@ -621,6 +692,14 @@ class HNSW:
                 s = jnp.full((q.shape[0], k), INF if self.cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
             else:
+                dead = None
+                if self._dead:
+                    dead = self._dead_rows
+                    cap1 = self.state.nbr0.shape[0]
+                    if dead.shape[0] < cap1:   # capacity grew since remove
+                        dead = jnp.zeros((cap1,), bool).at[
+                            : dead.shape[0]].set(dead)
+                        self._dead_rows = dead
                 s, i, _ = search_state(
                     self.state, q, k, self.cfg.metric, ef,
                     expand=sc.expand,
@@ -632,6 +711,7 @@ class HNSW:
                                    else sc.search_degree),
                     dedupe_candidates=sc.dedupe_candidates,
                     seed_anchors=sc.seed_anchors,
+                    dead=dead,
                 )
             if squeeze:
                 return s[0], i[0]
@@ -654,6 +734,8 @@ class HNSW:
                 return np.zeros((0, self.cfg.dim), np.float32)
             if (ids < 0).any() or (ids >= self._n_inserted).any():
                 raise IndexError(f"ids must be in [0, {self._n_inserted})")
+            if self._dead and any(int(i) in self._dead for i in ids):
+                raise IndexError("id was deleted")
             ext = np.asarray(self.state.ext_ids)
             live = ext >= 0
             inv = np.full(self._n_inserted, -1, np.int64)

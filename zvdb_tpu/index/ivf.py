@@ -683,11 +683,13 @@ class IVFIndex:
         self._lock = threading.RLock()
         self._pending: list[np.ndarray] = []
         self._n_inserted = 0
+        self._dead: set[int] = set()   # tombstoned external ids
 
     def __len__(self) -> int:
         with self._lock:
             n = 0 if self.state is None else int(self.state.n)
-            return n + sum(p.shape[0] for p in self._pending)
+            return (n + sum(p.shape[0] for p in self._pending)
+                    - len(self._dead))
 
     # -- build ------------------------------------------------------------
     def build(self, x, checkpoint_path: Optional[str] = None) -> None:
@@ -727,6 +729,7 @@ class IVFIndex:
         with self._lock:
             self._pending = []
             self._n_inserted = n
+            self._dead = set()
             cfg = self.cfg
             if cfg.metric == "cosine":
                 if on_device:
@@ -990,6 +993,7 @@ class IVFIndex:
         if cfg.rerank:
             return np.asarray(st.rerank_vecs[:n], np.float32)
         ids = np.asarray(st.b_ids)
+        ids = np.where(ids <= -2, -2 - ids, ids)   # decode tombstones
         mask = ids >= 0
         blocks = np.asarray(st.blocks, np.float32)
         if cfg.dtype == "int8":
@@ -1002,9 +1006,72 @@ class IVFIndex:
     def _repack_with_new(self, new: np.ndarray, base: int) -> None:
         """Overflow path: rebuild blocks from TRUE vectors (reconstructed in
         external-id order, so every previously returned id stays valid) against
-        the existing centroids, splitting clusters that no longer fit."""
+        the existing centroids, splitting clusters that no longer fit.
+        Tombstoned rows ride along (their ids must stay occupied) and are
+        re-marked after the pack assigns fresh slots."""
         x_all = np.concatenate([self._reconstruct_all(), new], axis=0)
         self._rebuild_with_centroids(x_all, np.asarray(self.state.centroids))
+        self._apply_tombstones()
+
+    def _apply_tombstones(self) -> None:
+        """Re-encode self._dead into freshly packed b_ids (dead external id e
+        is stored as -2 - e: every scan path masks b_ids >= 0, all metrics)."""
+        if not self._dead or self.state is None:
+            return
+        ids_np = np.asarray(self.state.b_ids)
+        dec = np.where(ids_np <= -2, -2 - ids_np, ids_np)
+        hit = np.isin(dec, np.asarray(sorted(self._dead), np.int64)) \
+            & (dec >= 0) & (ids_np >= 0)
+        if not hit.any():
+            return
+        cc, ss = np.nonzero(hit)
+        self.state = self.state._replace(
+            b_ids=self.state.b_ids.at[jnp.asarray(cc), jnp.asarray(ss)].set(
+                jnp.asarray(-2 - dec[cc, ss], jnp.int32)))
+
+    # -- delete -------------------------------------------------------------
+    def remove(self, ids) -> int:
+        """Delete by external id (tombstone; the reference has no delete).
+        Ids never renumber and freed slots are not reused. A dead point's
+        block slot stays occupied (its id is encoded as -2 - id, which every
+        scan already masks out for all metrics) until compact(). Returns the
+        number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        with self._lock:
+            self._flush_locked()
+            n = 0 if self.state is None else int(self.state.n)
+            if (ids < 0).any() or (ids >= n).any():
+                raise IndexError(f"ids must be in [0, {n})")
+            new = [int(i) for i in ids if int(i) not in self._dead]
+            if not new:
+                return 0
+            self._dead.update(new)
+            # encode just the new ones (one host pull of b_ids + one scatter)
+            ids_np = np.asarray(self.state.b_ids)
+            hit = np.isin(ids_np, np.asarray(new, np.int64))
+            cc, ss = np.nonzero(hit)
+            self.state = self.state._replace(
+                b_ids=self.state.b_ids.at[
+                    jnp.asarray(cc), jnp.asarray(ss)].set(
+                        jnp.asarray(-2 - ids_np[cc, ss], jnp.int32)))
+            return len(new)
+
+    def compact(self) -> np.ndarray:
+        """Rebuild without tombstoned rows; survivors renumber to [0, L) in
+        former order. Returns the survivors' OLD external ids (new_id ==
+        position)."""
+        with self._lock:
+            self._flush_locked()
+            n = 0 if self.state is None else int(self.state.n)
+            live = np.asarray(
+                [i for i in range(n) if i not in self._dead], np.int64)
+            if self.state is None or not self._dead:
+                return live
+            vecs = self._reconstruct_all()[live]
+        self.build(vecs)
+        return live
 
     def _rebuild_with_centroids(self, x: np.ndarray, cent: np.ndarray) -> None:
         cfg = self.cfg
@@ -1031,6 +1098,8 @@ class IVFIndex:
             n = int(self.state.n)
             if (ids < 0).any() or (ids >= n).any():
                 raise IndexError(f"ids must be in [0, {n})")
+            if self._dead and any(int(i) in self._dead for i in ids):
+                raise IndexError("id was deleted")
             return self._reconstruct_all()[ids]
 
     # -- search -----------------------------------------------------------
@@ -1085,6 +1154,9 @@ class IVFIndex:
             cfg = IVFConfig(**meta["cfg"])
             idx = cls(cfg)
             idx._n_inserted = meta["n_inserted"]
+            if "b_ids" in z:   # tombstones ride in the id encoding
+                enc = np.asarray(z["b_ids"])
+                idx._dead = set(int(-2 - v) for v in enc[enc <= -2])
             if "centroids" in z:
                 idx.state = IVFState(
                     centroids=jnp.asarray(z["centroids"]),

@@ -55,6 +55,8 @@ def save_hnsw(path: str, index) -> None:
             "a_norms": np.asarray(st.a_norms),
             "a_rows": np.asarray(st.a_rows),
         }
+        if index._dead:
+            arrays["dead_ext"] = np.asarray(sorted(index._dead), np.int64)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
@@ -94,4 +96,11 @@ def load_hnsw(path: str):
                 a_rows=jnp.asarray(z["a_rows"]) if "a_rows" in z
                 else jnp.zeros((0,), jnp.int32),
             )
+            if "dead_ext" in z:
+                dead_ext = np.asarray(z["dead_ext"], np.int64)
+                idx._dead = set(int(i) for i in dead_ext)
+                rows = idx._ext_to_rows(dead_ext)
+                idx._dead_rows = (
+                    jnp.zeros((idx.state.nbr0.shape[0],), bool)
+                    .at[jnp.asarray(rows)].set(True))
     return idx

@@ -37,9 +37,36 @@ class ShardedFlat:
         self._fns = {}
         self._pending: list[np.ndarray] = []
         self._per_shard_n: Optional[np.ndarray] = None
+        self._dead: set[int] = set()   # tombstoned global ids
 
     def __len__(self) -> int:
-        return self._n + sum(p.shape[0] for p in self._pending)
+        return (self._n + sum(p.shape[0] for p in self._pending)
+                - len(self._dead))
+
+    def remove(self, ids) -> int:
+        """Delete by global id (tombstone; same mark-and-filter contract as
+        the single-chip engines — see tests/test_delete.py). One scatter per
+        shard setting the rows' norm validity bias to +inf; ids never
+        renumber. Returns the number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        self._flush()
+        if (ids < 0).any() or (ids >= self._n).any():
+            raise IndexError(f"ids must be in [0, {self._n})")
+        new = np.asarray(
+            [int(i) for i in ids if int(i) not in self._dead], np.int64)
+        if new.size == 0:
+            return 0
+        grid = np.asarray(self.state["ids"])
+        rr, cc = np.nonzero(np.isin(grid, new))
+        self.state = dict(
+            self.state,
+            norms=self.state["norms"].at[jnp.asarray(rr), jnp.asarray(cc)]
+            .set(jnp.inf),
+        )
+        self._dead.update(int(i) for i in new)
+        return int(new.size)
 
     def build(self, x) -> None:
         x = np.asarray(x, np.float32)
@@ -67,6 +94,7 @@ class ShardedFlat:
         self._per_shard_n = (ids >= 0).sum(1)
         self._pending = []
         self._fns = {}
+        self._dead = set()
 
     # ------------------------------------------------------ incremental insert
     def add(self, x) -> None:
@@ -190,6 +218,9 @@ class ShardedFlat:
                     ids=jax.device_put(jnp.asarray(ids), sh),
                 )
                 idx._per_shard_n = (ids >= 0).sum(1)
+                # tombstones ride in norms: live slot (id >= 0) + inf norm
+                dead = ids[(ids >= 0) & np.isinf(np.asarray(z["norms"]))]
+                idx._dead = set(int(i) for i in dead)
         return idx
 
     def _make(self, k: int, approx: bool):
@@ -219,6 +250,9 @@ class ShardedFlat:
                     ts = jnp.where(ti >= 0, tv, jnp.inf)
                 else:
                     ts, ti = T.smallest_k(s, jnp.broadcast_to(ii[None, :], s.shape), kk)
+                # tombstoned rows carry a live-looking id but an inf score;
+                # never let them surface when < k finite candidates exist
+                ti = jnp.where(jnp.isfinite(ts), ti, -1)
                 return ts[:, None, :], ti[:, None, :]
 
             ts, ti = shard_map(
