@@ -303,3 +303,80 @@ def test_sharded_flat_remove_and_roundtrip(tmp_path):
     assert len(back) == n - len(dead)
     i = np.asarray(back.search(x[:200], 5)[1])
     assert _no_dead_in_results(i, dead)
+
+
+# ---------------------------------------------------------------------------
+# sharded graph + ivf engines (8-virtual-device CPU mesh via conftest)
+
+
+def test_sharded_cagra_remove_and_roundtrip(tmp_path):
+    from zvdb_tpu.parallel.sharded_cagra import ShardedCagra
+
+    n, d = 3000, 16
+    x = clustered(n, d, seed=17)
+    idx = ShardedCagra(CagraConfig(dim=d, degree=16))
+    idx.build(x)
+    dead = set(range(0, 300, 3))
+    assert idx.remove(sorted(dead)) == len(dead)
+    assert len(idx) == n - len(dead)
+    i = np.asarray(idx.search(x[:300], 5, ef_search=32)[1])
+    assert _no_dead_in_results(i, dead)
+    alive = np.asarray([r for r in range(300) if r not in dead])
+    ii = np.asarray(idx.search(x[alive], 1, ef_search=32)[1])
+    assert (ii[:, 0] == alive).mean() >= 0.9
+    p = str(tmp_path / "sc.npz")
+    idx.save(p)
+    back = ShardedCagra.load(p)
+    assert back._dead == dead
+    i = np.asarray(back.search(x[:300], 5, ef_search=32)[1])
+    assert _no_dead_in_results(i, dead)
+
+
+def test_sharded_hnsw_remove_and_roundtrip(tmp_path):
+    from zvdb_tpu.parallel.sharded import ShardedHNSW
+
+    n, d = 3000, 16
+    x = clustered(n, d, seed=18)
+    idx = ShardedHNSW(HNSWConfig(dim=d, m=16, ef_construction=48))
+    idx.build(x)
+    dead = set(range(0, 300, 3))
+    assert idx.remove(sorted(dead)) == len(dead)
+    assert len(idx) == n - len(dead)
+    i = np.asarray(idx.search(x[:300], 5, ef_search=32)[1])
+    assert _no_dead_in_results(i, dead)
+    alive = np.asarray([r for r in range(300) if r not in dead])
+    ii = np.asarray(idx.search(x[alive], 1, ef_search=32)[1])
+    assert (ii[:, 0] == alive).mean() >= 0.9
+    p = str(tmp_path / "sh.npz")
+    idx.save(p)
+    back = ShardedHNSW.load(p)
+    assert back._dead == dead
+    i = np.asarray(back.search(x[:300], 5, ef_search=32)[1])
+    assert _no_dead_in_results(i, dead)
+
+
+def test_sharded_ivf_remove_append_and_roundtrip(tmp_path):
+    from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
+
+    n, d = 2000, 16
+    x = clustered(n, d, seed=19)
+    idx = ShardedIVF(IVFConfig(dim=d, n_clusters=16))
+    idx.build(x)
+    dead = set(range(0, 200, 2))
+    assert idx.remove(sorted(dead)) == len(dead)
+    assert len(idx) == n - len(dead)
+    i = np.asarray(idx.search(x[:200], 5, nprobe=8)[1])
+    assert _no_dead_in_results(i, dead)
+    alive = np.asarray([r for r in range(200) if r not in dead])
+    ii = np.asarray(idx.search(x[alive], 1, nprobe=8)[1])
+    assert (ii[:, 0] == alive).mean() >= 0.95
+    # append path (converts to local ids + id_map) keeps tombstones dead
+    idx.add(x[:4] + 0.001)
+    i2 = np.asarray(idx.search(x[:200], 5, nprobe=8)[1])
+    assert _no_dead_in_results(i2, dead)
+    p = str(tmp_path / "si.npz")
+    idx.save(p)
+    back = ShardedIVF.load(p)
+    assert back._dead == dead
+    i = np.asarray(back.search(x[:200], 5, nprobe=8)[1])
+    assert _no_dead_in_results(i, dead)

@@ -121,9 +121,49 @@ class ShardedHNSW:
         self._reseed_fn = None
         self._reseed_key = None
         self._anchor_n = 0   # max per-shard n at the last anchor snapshot
+        self._dead: set[int] = set()              # tombstoned global ids
+        self._dead_mask: Optional[jax.Array] = None  # [S, cap+1] bool by row
+        self._dead_placeholder: Optional[jax.Array] = None
 
     def __len__(self) -> int:
-        return self._n + sum(p.shape[0] for p in self._pending)
+        return (self._n + sum(p.shape[0] for p in self._pending)
+                - len(self._dead))
+
+    def remove(self, ids) -> int:
+        """Delete by global id (mark-and-filter; same contract as the
+        single-chip engines — tombstoned nodes keep routing each shard's
+        beam and are filtered from the beam before the per-shard top-k).
+        Ids never renumber. Returns the number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        self._flush()
+        if (ids < 0).any() or (ids >= self._n).any():
+            raise IndexError(f"ids must be in [0, {self._n})")
+        new = np.asarray(
+            [int(i) for i in ids if int(i) not in self._dead], np.int64)
+        if new.size == 0:
+            return 0
+        ext = np.asarray(self.state.ext_ids)   # [S, cap] global ids
+        rr, cc = np.nonzero(np.isin(ext, new))
+        self._sync_dead_mask()
+        self._dead_mask = self._dead_mask.at[
+            jnp.asarray(rr), jnp.asarray(cc)].set(True)
+        self._dead.update(int(i) for i in new)
+        self._search_fn = None
+        return int(new.size)
+
+    def _sync_dead_mask(self) -> None:
+        cap1 = self.state.nbr0.shape[1]         # per-shard cap + trash row
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        if self._dead_mask is None:
+            self._dead_mask = jax.device_put(
+                jnp.zeros((self.n_shards, cap1), bool), sh)
+        elif self._dead_mask.shape[1] < cap1:
+            grown = jnp.zeros((self.n_shards, cap1), bool)
+            grown = grown.at[:, : self._dead_mask.shape[1]].set(
+                self._dead_mask)
+            self._dead_mask = jax.device_put(grown, sh)
 
     # ------------------------------------------------------------------ build
     def build(self, x) -> None:
@@ -191,6 +231,8 @@ class ShardedHNSW:
         self._attach_anchors(per)
         self._search_fn = None
         self._pending = []
+        self._dead = set()
+        self._dead_mask = None
 
     def _attach_anchors(self, per: int) -> None:
         import math
@@ -365,6 +407,8 @@ class ShardedHNSW:
                 if str(v.dtype) == "bfloat16":
                     v = v.astype(np.float32)
                 arrays[f] = v
+            if self._dead:
+                arrays["dead_ext"] = np.asarray(sorted(self._dead), np.int64)
         np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
     @classmethod
@@ -393,33 +437,42 @@ class ShardedHNSW:
                     for f in HNSWState._fields
                 })
                 idx._anchor_n = int(np.asarray(z["n"]).max())
+                if "dead_ext" in z:
+                    dead = np.asarray(z["dead_ext"], np.int64)
+                    idx._dead = set(int(i) for i in dead)
+                    ext = np.asarray(z["ext_ids"])
+                    rr, cc = np.nonzero(np.isin(ext, dead))
+                    idx._sync_dead_mask()
+                    idx._dead_mask = idx._dead_mask.at[
+                        jnp.asarray(rr), jnp.asarray(cc)].set(True)
         return idx
 
     # ----------------------------------------------------------------- search
-    def _make_search(self, k: int, ef: int):
+    def _make_search(self, k: int, ef: int, with_dead: bool = False):
         cfg, scfg, levels_cap = self.cfg, self.search_cfg, self.levels_cap
         mesh = self.mesh
         specs = _state_specs(self.state)
         qspec = P(DATA_AXIS) if self.n_data > 1 else P()
 
         @jax.jit
-        def run(state, q):
-            def local(st, q):
+        def run(state, dead_mask, q):
+            def local(st, dead, q):
                 st = _strip(st)
                 s, ext, _ = search_state_impl(
                     st, q, k, cfg.metric, ef,
                     expand=scfg.expand, max_iters=scfg.max_iters,
                     max_upper_iters=scfg.max_upper_iters, levels_cap=levels_cap,
                     precision=cfg.precision,
+                    dead=dead[0] if with_dead else None,
                 )
                 return s[:, None, :], ext[:, None, :]   # [Bl, 1, k]
 
             s, ext = shard_map(
                 local, mesh=mesh,
-                in_specs=(specs, qspec),
+                in_specs=(specs, P(SHARD_AXIS), qspec),
                 out_specs=(P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS),
                            P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS)),
-            )(state, q)
+            )(state, dead_mask, q)
             b = s.shape[0]
             s = s.reshape(b, -1)       # [B, S*k] — XLA all-gathers over ICI
             ext = ext.reshape(b, -1)
@@ -442,9 +495,19 @@ class ShardedHNSW:
         # search_cfg participates in the cache key: _make_search captures it
         # in the jitted closure, so a reassigned idx.search_cfg must rebuild
         # (frozen dataclass -> hashable)
-        key = (k, ef, self.search_cfg)
+        with_dead = bool(self._dead)
+        if with_dead:
+            self._sync_dead_mask()
+            dead = self._dead_mask
+        else:   # cached placeholder; ignored by the local fn
+            if self._dead_placeholder is None:
+                self._dead_placeholder = jax.device_put(
+                    jnp.zeros((self.n_shards, 1), bool),
+                    NamedSharding(self.mesh, P(SHARD_AXIS)))
+            dead = self._dead_placeholder
+        key = (k, ef, self.search_cfg, with_dead)
         if self._search_fn is None or self._search_key != key:
-            self._search_fn = self._make_search(k, ef)
+            self._search_fn = self._make_search(k, ef, with_dead)
             self._search_key = key
         q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
-        return self._search_fn(self.state, q)
+        return self._search_fn(self.state, dead, q)

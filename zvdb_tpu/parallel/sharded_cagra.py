@@ -64,9 +64,50 @@ class ShardedCagra:
         self._step_fn = None
         self._reseed_fn = None
         self._anchor_n = 0   # max per-shard n at the last anchor snapshot
+        self._dead: set[int] = set()              # tombstoned global ids
+        self._dead_mask: Optional[jax.Array] = None  # [S, cap] bool
 
     def __len__(self) -> int:
-        return self._n + sum(p.shape[0] for p in self._pending)
+        return (self._n + sum(p.shape[0] for p in self._pending)
+                - len(self._dead))
+
+    def remove(self, ids) -> int:
+        """Delete by global id (mark-and-filter, same contract as the
+        single-chip engines): tombstoned nodes keep routing per-shard beams
+        and are filtered from each shard's beam before the global merge.
+        Ids never renumber. Returns the number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        self._flush()
+        if (ids < 0).any() or (ids >= self._n).any():
+            raise IndexError(f"ids must be in [0, {self._n})")
+        new = np.asarray(
+            [int(i) for i in ids if int(i) not in self._dead], np.int64)
+        if new.size == 0:
+            return 0
+        ext = np.asarray(self.ext_ids)
+        rr, cc = np.nonzero(np.isin(ext, new))
+        self._sync_dead_mask()
+        self._dead_mask = self._dead_mask.at[
+            jnp.asarray(rr), jnp.asarray(cc)].set(True)
+        self._dead.update(int(i) for i in new)
+        self._search_fn = None   # signature gains the mask input
+        return int(new.size)
+
+    def _sync_dead_mask(self) -> None:
+        """Create/grow the stacked [S, cap] tombstone mask to the current
+        shard capacity (extends regrow the state arrays)."""
+        cap = self.ext_ids.shape[1]
+        sh = self._sharding()
+        if self._dead_mask is None:
+            self._dead_mask = jax.device_put(
+                jnp.zeros((self.n_shards, cap), bool), sh)
+        elif self._dead_mask.shape[1] < cap:
+            grown = jnp.zeros((self.n_shards, cap), bool)
+            grown = grown.at[:, : self._dead_mask.shape[1]].set(
+                self._dead_mask)
+            self._dead_mask = jax.device_put(grown, sh)
 
     @property
     def dim(self) -> int:
@@ -96,6 +137,8 @@ class ShardedCagra:
         self._n = n
         self._pending = []
         self._search_fn = None
+        self._dead = set()
+        self._dead_mask = None
         if cfg.metric == "cosine" and n:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
@@ -316,19 +359,20 @@ class ShardedCagra:
         self._search_fn = None
 
     # ----------------------------------------------------------------- search
-    def _make_search(self, k: int, ef: int):
+    def _make_search(self, k: int, ef: int, with_dead: bool):
         cfg, mesh = self.cfg, self.mesh
         specs = jax.tree.map(lambda _: P(SHARD_AXIS), self.state)
         qspec = P(DATA_AXIS) if self.n_data > 1 else P()
 
         @jax.jit
-        def run(state, ext_ids, q):
-            def local(st, ext, q):
+        def run(state, ext_ids, dead_mask, q):
+            def local(st, ext, dead, q):
                 st1 = jax.tree.map(lambda a: a[0], st)
                 arrs = _SearchArrays(
                     table=st1.vectors, norms=st1.norms, nbrs=st1.nbrs,
                     anchors=st1.anchors, a_norms=st1.a_norms,
                     a_rows=st1.a_rows, n=st1.n, q_scale=st1.q_scale,
+                    dead=dead[0] if with_dead else None,
                 )
                 s_, rows = cagra_search_impl(
                     arrs, q, k, cfg.metric, ef, cfg.n_seeds, cfg.expand,
@@ -342,10 +386,10 @@ class ShardedCagra:
 
             s_, g = shard_map(
                 local, mesh=mesh,
-                in_specs=(specs, P(SHARD_AXIS), qspec),
+                in_specs=(specs, P(SHARD_AXIS), P(SHARD_AXIS), qspec),
                 out_specs=(P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS),
                            P(DATA_AXIS if self.n_data > 1 else None, SHARD_AXIS)),
-            )(state, ext_ids, q)
+            )(state, ext_ids, dead_mask, q)
             b = s_.shape[0]
             s_ = s_.reshape(b, -1)
             g = g.reshape(b, -1)
@@ -374,11 +418,20 @@ class ShardedCagra:
                         np.inf if self.cfg.metric == "l2" else -np.inf)
             return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
         ef = ef_search if ef_search is not None else self.cfg.ef_search
-        key = (k, ef)
+        with_dead = bool(self._dead)
+        if with_dead:
+            self._sync_dead_mask()
+            dead = self._dead_mask
+        else:   # cached placeholder rides the same signature; local ignores it
+            if getattr(self, "_dead_placeholder", None) is None:
+                self._dead_placeholder = jax.device_put(
+                    jnp.zeros((self.n_shards, 1), bool), self._sharding())
+            dead = self._dead_placeholder
+        key = (k, ef, with_dead)
         if self._search_fn is None or self._search_key != key:
-            self._search_fn = self._make_search(k, ef)
+            self._search_fn = self._make_search(k, ef, with_dead)
             self._search_key = key
-        return self._search_fn(self.state, self.ext_ids, q)
+        return self._search_fn(self.state, self.ext_ids, dead, q)
 
     # ------------------------------------------------------------ persistence
     def save(self, path: str) -> None:
@@ -393,6 +446,8 @@ class ShardedCagra:
                     v = v.astype(np.float32)
                 arrays[f] = v
             arrays["ext_ids"] = np.asarray(self.ext_ids)
+            if self._dead:
+                arrays["dead_ext"] = np.asarray(sorted(self._dead), np.int64)
         np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
     @classmethod
@@ -417,6 +472,14 @@ class ShardedCagra:
                 })
                 idx.ext_ids = jax.device_put(jnp.asarray(z["ext_ids"]), sh)
                 idx._anchor_n = int(np.asarray(z["n"]).max())
+                if "dead_ext" in z:
+                    dead = np.asarray(z["dead_ext"], np.int64)
+                    idx._dead = set(int(i) for i in dead)
+                    ext = np.asarray(z["ext_ids"])
+                    rr, cc = np.nonzero(np.isin(ext, dead))
+                    idx._sync_dead_mask()
+                    idx._dead_mask = idx._dead_mask.at[
+                        jnp.asarray(rr), jnp.asarray(cc)].set(True)
         return idx
 
 

@@ -60,9 +60,58 @@ class ShardedIVF:
         # host routing copies (small): global centroids + cluster->(shard, local)
         self._cent_host: Optional[np.ndarray] = None
         self._cluster_of: Optional[np.ndarray] = None  # [C_glob, 2] (shard, local)
+        self._dead: set[int] = set()   # tombstoned global ids
 
     def __len__(self) -> int:
-        return self._n + sum(p.shape[0] for p in self._pending)
+        return (self._n + sum(p.shape[0] for p in self._pending)
+                - len(self._dead))
+
+    # ------------------------------------------------------------------ delete
+    def remove(self, ids) -> int:
+        """Delete by global id (tombstone; same -2-id encoding in b_ids as
+        the single-chip IVF — every scan masks b_ids >= 0, all metrics).
+        Ids never renumber. Returns the number of rows newly deleted."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        if ids.size == 0:
+            return 0
+        self._flush()
+        if (ids < 0).any() or (ids >= self._n).any():
+            raise IndexError(f"ids must be in [0, {self._n})")
+        new = np.asarray(
+            [int(i) for i in ids if int(i) not in self._dead], np.int64)
+        if new.size == 0:
+            return 0
+        self._dead.update(int(i) for i in new)
+        self._mark_dead(new)
+        return int(new.size)
+
+    def _decoded_slot_globals(self, ids_np: np.ndarray):
+        """(decoded slot values, global id per slot). b_ids hold LOCAL ids
+        when an id_map exists, else global ids; tombstones are -2-v."""
+        dec = np.where(ids_np <= -2, -2 - ids_np, ids_np)
+        if self.id_map is not None:
+            im = np.asarray(self.id_map)
+            glob = np.full(dec.shape, -1, np.int64)
+            for si in range(self.n_shards):
+                m = dec[si] >= 0
+                glob[si][m] = im[si][dec[si][m]]
+        else:
+            glob = dec.astype(np.int64)
+        return dec, glob
+
+    def _mark_dead(self, dead_ids: np.ndarray) -> None:
+        if dead_ids.size == 0 or self.state is None:
+            return
+        ids_np = np.asarray(self.state.b_ids)       # [S, C_loc, cap]
+        dec, glob = self._decoded_slot_globals(ids_np)
+        hit = np.isin(glob, dead_ids) & (glob >= 0) & (ids_np >= 0)
+        ss, cc, bb = np.nonzero(hit)
+        if ss.size == 0:
+            return
+        self.state = self.state._replace(
+            b_ids=self.state.b_ids.at[
+                jnp.asarray(ss), jnp.asarray(cc), jnp.asarray(bb)].set(
+                    jnp.asarray(-2 - dec[ss, cc, bb], jnp.int32)))
 
     # ------------------------------------------------------------------ build
     def build(self, x) -> None:
@@ -74,6 +123,7 @@ class ShardedIVF:
         st = single.state
         self._n = int(st.n)
         self._pending = []
+        self._dead = set()
         s = self.n_shards
         counts = np.asarray(st.counts)
         c = counts.shape[0]
@@ -353,12 +403,17 @@ class ShardedIVF:
                 w = min(old_map.shape[1], rcap)
                 idmap[si, :w] = old_map[si, :w]
                 continue
-            sel = b_ids_host[si] >= 0
-            glob = b_ids_host[si][sel]
+            enc = b_ids_host[si]
+            dec = np.where(enc <= -2, -2 - enc, enc)   # decode tombstones
+            sel = dec >= 0                             # live + tombstoned
+            glob = dec[sel]
             idmap[si, : glob.size] = glob
             loc = np.full(self._n, -1, np.int64)
             loc[glob] = np.arange(glob.size)
-            b_ids_host[si][sel] = loc[glob]
+            new_vals = loc[glob]
+            # tombstoned slots stay tombstoned in the LOCAL encoding
+            new_vals = np.where(enc[sel] <= -2, -2 - new_vals, new_vals)
+            b_ids_host[si][sel] = new_vals
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
         if not already_local:
             self.state = self.state._replace(
@@ -398,6 +453,9 @@ class ShardedIVF:
                 blocks = blocks * np.asarray(self.state.b_scales)[..., None] \
                     + np.asarray(self.state.centroids)[:, :, None, :]
             ids = np.asarray(self.state.b_ids)
+            # decode tombstones: dead vectors must ride along so their ids
+            # stay occupied; they are re-marked after the rebuild below
+            ids = np.where(ids <= -2, -2 - ids, ids)
             sel = ids >= 0
             glob = ids[sel]
             if self.id_map is not None:
@@ -408,8 +466,12 @@ class ShardedIVF:
             x_all[glob] = blocks[sel]
         x_all[self._n:] = new
         n_total = self._n + new.shape[0]
+        dead = self._dead
         self.build(x_all)
         self._n = n_total
+        if dead:
+            self._dead = dead
+            self._mark_dead(np.asarray(sorted(dead), np.int64))
 
     # ------------------------------------------------------------ persistence
     def save(self, path: str) -> None:
@@ -459,4 +521,9 @@ class ShardedIVF:
                     idx.id_map = jax.device_put(jnp.asarray(z["id_map"]), sh)
                 idx._cent_host = np.asarray(z["cent_host"])
                 idx._cluster_of = np.asarray(z["cluster_of"])
+                enc = np.asarray(z["b_ids"])
+                if (enc <= -2).any():   # tombstones ride in the encoding
+                    _, glob = idx._decoded_slot_globals(enc)
+                    idx._dead = set(
+                        int(g) for g in glob[(enc <= -2) & (glob >= 0)])
         return idx
