@@ -139,3 +139,40 @@ def test_rerank_two_pass_matches_exact(rng):
             np.testing.assert_allclose(np.asarray(rs)[same],
                                        np.asarray(es)[same], rtol=1e-4,
                                        atol=2e-3)
+
+
+def test_search_range_matches_oracle():
+    """Fixed-capacity range query (FAISS range_search analog): exact counts,
+    the max_results best in-range ids, user-score radius convention, and
+    tombstone exclusion."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    q = x[:32] + 0.01
+    idx = FlatIndex(FlatConfig(dim=16))
+    idx.add(x)
+    r = 2.0
+    s, i, c = (np.asarray(v) for v in idx.search_range(q, r, max_results=64))
+    d2 = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(c, (d2 <= r).sum(1))
+    for b in range(32):
+        got = set(i[b][i[b] >= 0])
+        inr = np.nonzero(d2[b] <= r)[0]
+        want = set(inr[np.argsort(d2[b][inr])][:64])
+        assert got == want
+    assert (s[i >= 0] <= r).all()
+    # removed rows leave both the results and the counts
+    idx.remove([0, 1])
+    s2, i2, c2 = (np.asarray(v)
+                  for v in idx.search_range(q, r, max_results=64))
+    d2m = d2.copy()
+    d2m[:, [0, 1]] = np.inf
+    np.testing.assert_array_equal(c2, (d2m <= r).sum(1))
+    assert not np.isin(i2.ravel(), [0, 1]).any()
+    # dot metric: radius is a similarity floor
+    idxd = FlatIndex(FlatConfig(dim=16, metric="dot"))
+    idxd.add(x)
+    _, _, cd = idxd.search_range(q, 5.0, max_results=64)
+    np.testing.assert_array_equal(np.asarray(cd), (q @ x.T >= 5.0).sum(1))
+    # single-query squeeze
+    s1, i1, c1 = idx.search_range(q[0], r, max_results=8)
+    assert s1.shape == (8,) and int(c1) == int(c2[0])

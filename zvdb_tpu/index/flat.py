@@ -213,6 +213,46 @@ def _search_pallas_rerank(
     return out, best_i
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "metric", "tile_n",
+                                              "precision"))
+def _count_range(state: FlatState, q: jax.Array, radius: float, metric: str,
+                 tile_n: int, precision: str):
+    """Exact in-range neighbor count per query [B] (user-score convention:
+    squared-L2 <= radius for l2, similarity >= radius for dot/cosine).
+    Same tiled scan shape as _search; invalid/tombstoned rows carry +inf
+    surrogate and never count."""
+    cap = state.vectors.shape[0]
+    tile = min(tile_n, cap)
+    n_tiles = -(-cap // tile)
+    pad_cap = n_tiles * tile
+    qs = D.preprocess_queries(q, metric)
+    # surrogate-space threshold: l2 user = surrogate + ||q||^2;
+    # dot/cos user = -surrogate
+    thr = (radius - D.sq_norms(qs)) if metric == "l2" \
+        else jnp.full((qs.shape[0],), -radius, jnp.float32)
+    vec_t = jnp.pad(state.vectors, ((0, pad_cap - cap), (0, 0))).reshape(
+        n_tiles, tile, -1)
+    norm_t = jnp.pad(state.norms, (0, pad_cap - cap),
+                     constant_values=jnp.inf).reshape(n_tiles, tile)
+    scale_t = jnp.pad(state.scales, (0, pad_cap - cap),
+                      constant_values=1.0).reshape(n_tiles, tile)
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+
+    def body(acc, inputs):
+        vecs, norms, scales = inputs
+        s = D.pairwise_scores(qs, vecs, norms, metric, precision=prec,
+                              x_scales=scales)
+        return acc + (s <= thr[:, None]).sum(axis=1, dtype=jnp.int32), None
+
+    acc0 = jnp.zeros((qs.shape[0],), jnp.int32)
+    counts, _ = jax.lax.scan(body, acc0, (vec_t, norm_t, scale_t))
+    return counts
+
+
 class FlatIndex:
     """Exact kNN index. API mirrors the reference HNSW surface
     (init/insert/search — reference src/hnsw.zig:52,73,194) with batching."""
@@ -440,6 +480,47 @@ class FlatIndex:
         if squeeze:
             return s[0], i[0]
         return s, i
+
+    def search_range(self, q, radius: float, max_results: int = 128):
+        """All neighbors within `radius`: squared-L2 <= radius for l2, or
+        similarity >= radius for dot/cosine (user-facing score convention,
+        matching search()). TPU-native fixed-capacity form of the classic
+        range query: returns (scores [B, R], ids [B, R], counts [B]) with
+        R = max_results. counts is the EXACT number of in-range neighbors;
+        when counts[b] > R the row holds the R best (re-query with a larger
+        max_results for the full set). Invalid slots: id -1. Exact scoring
+        (cfg.precision), one extra counting pass over the corpus tiles."""
+        q = jnp.asarray(q)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if q.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
+            )
+        if self.state is None:
+            s = jnp.full((q.shape[0], max_results), jnp.inf, jnp.float32)
+            i = jnp.full((q.shape[0], max_results), -1, jnp.int32)
+            c = jnp.zeros((q.shape[0],), jnp.int32)
+        else:
+            s, i = _search(
+                self.state, q, max_results, self.cfg.metric, self.cfg.tile_n,
+                approx=False, precision=self.cfg.precision,
+            )
+            if self.cfg.metric == "l2":
+                in_r = (s <= radius) & (i >= 0)
+            else:
+                in_r = (s >= radius) & (i >= 0)
+            i = jnp.where(in_r, i, -1)
+            s = jnp.where(in_r, s, jnp.inf if self.cfg.metric == "l2"
+                          else -jnp.inf)
+            c = _count_range(
+                self.state, q, float(radius), self.cfg.metric,
+                self.cfg.tile_n, self.cfg.precision,
+            )
+        if squeeze:
+            return s[0], i[0], c[0]
+        return s, i, c
 
 
 def exact_ground_truth(corpus, queries, k: int, metric: str = "l2", tile_n: int = 65536):
