@@ -176,3 +176,29 @@ def test_search_range_matches_oracle():
     # single-query squeeze
     s1, i1, c1 = idx.search_range(q[0], r, max_results=8)
     assert s1.shape == (8,) and int(c1) == int(c2[0])
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_pca_filtered_search(metric):
+    """PCA-filtered two-pass (pHNSW/AQR pattern): projected approx scan +
+    exact full-dim rerank recovers top-k recall on clustered high-dim data,
+    and the projection tracks deletes."""
+    rng = np.random.default_rng(0)
+    nc, n, d = 64, 6000, 256
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    x = (centers[rng.integers(0, nc, n)]
+         + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (x[rng.integers(0, n, 300)]
+         + 0.05 * rng.standard_normal((300, d))).astype(np.float32)
+    oracle = FlatIndex(FlatConfig(dim=d, metric=metric))
+    oracle.add(x)
+    gt = np.asarray(oracle.search(q, 10)[1])
+    idx = FlatIndex(FlatConfig(dim=d, metric=metric, pca_dim=64, rerank=16))
+    idx.add(x)
+    ids = np.asarray(idx.search(q, 10, approx=True)[1])
+    rec = np.mean([len(set(ids[r]) & set(gt[r])) / 10 for r in range(300)])
+    assert rec >= 0.95, rec
+    # deletes invalidate + re-derive the projection
+    idx.remove(list(range(100)))
+    ids = np.asarray(idx.search(x[:100], 5, approx=True)[1])
+    assert not np.isin(ids.ravel(), np.arange(100)).any()

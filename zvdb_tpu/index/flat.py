@@ -213,6 +213,58 @@ def _search_pallas_rerank(
     return out, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "recall_target", "rerank"),
+)
+def _search_pca_rerank(
+    proj: FlatState, state: FlatState, basis: jax.Array, mean: jax.Array,
+    q: jax.Array, k: int, metric: str, tile_n: int, recall_target: float,
+    rerank: int,
+):
+    """PCA-filtered two-pass search (pHNSW/AQR pattern, PAPERS.md): pass 1
+    scans the PROJECTED corpus (D -> p cuts the dominant matmul by D/p),
+    pass 2 rescores the rerank*k survivors exactly in full dimension.
+    Candidate ranking in the subspace is approximate; the exact rerank
+    repairs it (same structure as _search_rerank)."""
+    kk = max(k * rerank, k)
+    qs = D.preprocess_queries(q, metric)   # cosine: normalize BEFORE project
+    qp = (qs - mean[None, :]) @ basis      # [B, p]
+    s1, i1 = _search(proj, qp, kk, metric, tile_n, approx=True,
+                     recall_target=recall_target, precision="default")
+    safe = jnp.maximum(i1, 0)
+    rv = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)
+    rv = rv * jnp.take(state.scales, safe, axis=0)[..., None]
+    rn = jnp.take(state.norms, safe, axis=0)
+    dots = jnp.einsum("bd,bcd->bc", qs, rv,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    ex = rn - 2.0 * dots if metric == "l2" else rn - dots
+    ex = jnp.where(i1 >= 0, ex, jnp.inf)
+    best_s, best_i = T.smallest_k(ex, i1, k)
+    out = D.finalize_scores(best_s, qs, metric)
+    out = jnp.where(best_i >= 0, out, jnp.inf if metric == "l2" else -jnp.inf)
+    return out, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _project_corpus(state: FlatState, basis: jax.Array, mean: jax.Array,
+                    metric: str) -> FlatState:
+    """Projected shadow of the corpus for the PCA first pass. Norm channel
+    keeps the validity convention: +inf rows (uningested/tombstoned) stay
+    +inf so the projected scan masks exactly what the full scan would."""
+    vecs = state.vectors.astype(jnp.float32) * state.scales[:, None]
+    pv = (vecs - mean[None, :]) @ basis                   # [cap, p]
+    if metric == "l2":
+        pn = D.sq_norms(pv)
+    else:
+        pn = jnp.zeros((pv.shape[0],), jnp.float32)
+    pn = jnp.where(jnp.isinf(state.norms), jnp.inf, pn)
+    return FlatState(vectors=pv, norms=pn,
+                     scales=jnp.ones((pv.shape[0],), jnp.float32),
+                     n=state.n)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "metric", "tile_n",
                                               "precision"))
 def _count_range(state: FlatState, q: jax.Array, radius: float, metric: str,
@@ -264,6 +316,12 @@ class FlatIndex:
             init_state(self.capacity, cfg) if capacity else None
         )
         self._dead: set[int] = set()   # tombstoned external ids (host mirror)
+        # PCA-filter derived state (cfg.pca_dim > 0): projected corpus +
+        # basis, rebuilt lazily when contents change — never persisted
+        self._proj: Optional[FlatState] = None
+        self._proj_basis: Optional[jax.Array] = None   # [D, p]
+        self._proj_mean: Optional[jax.Array] = None    # [D] (zeros for dot)
+        self._proj_rev = None   # (n_total, n_dead) the projection reflects
 
     def __len__(self) -> int:
         """Live count (inserted minus deleted)."""
@@ -413,6 +471,32 @@ class FlatIndex:
             vecs = vecs * np.asarray(jnp.take(self.state.scales, rows))[:, None]
         return vecs
 
+    def _ensure_projection(self) -> None:
+        """(Re)build the PCA basis + projected corpus when contents changed.
+        Basis: top pca_dim right singular vectors of a corpus sample
+        (centered for l2 — pairwise differences are centering-invariant;
+        UNcentered for dot/cosine, where centering would corrupt dots)."""
+        rev = (self._n_total, len(self._dead))
+        if self._proj is not None and self._proj_rev == rev:
+            return
+        cfg = self.cfg
+        n = self._n_total
+        p = min(cfg.pca_dim, cfg.dim)
+        sample_rows = np.linspace(
+            0, max(n - 1, 0), num=min(n, 16384), dtype=np.int64)
+        sample = np.asarray(
+            jnp.take(self.state.vectors, jnp.asarray(sample_rows), axis=0)
+            .astype(jnp.float32)
+            * jnp.take(self.state.scales, jnp.asarray(sample_rows))[:, None])
+        mean = sample.mean(0) if cfg.metric == "l2" \
+            else np.zeros(cfg.dim, np.float32)
+        _, _, vt = np.linalg.svd(sample - mean, full_matrices=False)
+        self._proj_basis = jnp.asarray(vt[:p].T.astype(np.float32))  # [D, p]
+        self._proj_mean = jnp.asarray(mean.astype(np.float32))
+        self._proj = _project_corpus(
+            self.state, self._proj_basis, self._proj_mean, cfg.metric)
+        self._proj_rev = rev
+
     def _search_pallas(self, q: jax.Array, k: int):
         """Fused Pallas scan (ops/pallas_topk.py): same contract as _search's
         approx path — exact MXU scoring, bin-parallel partial selection.
@@ -461,6 +545,13 @@ class FlatIndex:
         if self.state is None:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        elif approx and self.cfg.pca_dim > 0:
+            self._ensure_projection()
+            s, i = _search_pca_rerank(
+                self._proj, self.state, self._proj_basis, self._proj_mean,
+                q, k, self.cfg.metric, self.cfg.tile_n,
+                self.cfg.recall_target, max(self.cfg.rerank, 4),
+            )
         elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
             # handles cfg.rerank internally (bf16 in-kernel scan + rerank)
             s, i = self._search_pallas(q, k)

@@ -184,6 +184,14 @@ class FlatConfig:
     # bf16 recall cliff — the exact rerank repairs the ranking. 0 = off.
     rerank: int = 0
     scan_precision: str = "default"
+    # PCA-filtered first pass (pHNSW/AQR-style, PAPERS.md): project the
+    # approx scan into the corpus's top pca_dim principal subspace (one
+    # [B,D]x[D,p] matmul for queries; projected corpus kept as derived
+    # state) and rerank the survivors exactly in full dimension. Cuts the
+    # dominant [B,N]xD scan matmul by D/pca_dim — a high-dim (768/1024d)
+    # lever; pointless at 128d. Requires rerank > 0; takes the XLA scan
+    # path. 0 = off.
+    pca_dim: int = 0
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
