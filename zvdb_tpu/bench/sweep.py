@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--recall", action="store_true", help="also measure recall")
     ap.add_argument("--engine", type=str, default="hnsw",
                     choices=["hnsw", "flat", "ivf", "cagra"])
+    ap.add_argument("--pca", type=int, default=0,
+                    help="flat engine: PCA-filter the approx scan to this "
+                         "many dims + exact rerank (high-dim lever)")
     ap.add_argument("--query-mode", type=str, default="dataset",
                     choices=["dataset", "perturb", "mixture", "gaussian"],
                     help="dataset = queries as loaded; perturb = corpus + "
@@ -114,7 +117,8 @@ def main(argv=None):
 
         if args.engine == "flat":
             factory = lambda: FlatIndex(
-                FlatConfig(dim=d, metric=metric, precision="high"),
+                FlatConfig(dim=d, metric=metric, precision="high",
+                           pca_dim=args.pca, rerank=16 if args.pca else 0),
                 capacity=x.shape[0],
             )
         elif args.engine == "ivf":
