@@ -1,0 +1,120 @@
+"""Filtered (allowlist) search contract tests.
+
+Production vector DBs filter ANN results by a predicate over ids (FAISS
+IDSelector / Qdrant payload filters). zvdb-tpu reuses the delete plumbing:
+the allowlist complement rides the same mask the tombstones use, so beams
+keep routing through non-matching nodes and results contain only listed
+ids. The flat engine is exact at any selectivity; graph/IVF engines filter
+their ef-/probe-wide candidate pools (raise ef/nprobe for selective
+filters).
+"""
+import numpy as np
+import pytest
+
+from zvdb_tpu import (
+    CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,
+    IVFConfig, IVFIndex,
+)
+
+
+def clustered(n, d, seed, nc=50):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    a = rng.integers(0, nc, n)
+    return (centers[a] + 0.15 * rng.standard_normal((n, d))).astype(np.float32)
+
+
+def _only_allowed(ids, allow_set):
+    flat = np.asarray(ids).ravel()
+    return set(flat[flat >= 0]) <= allow_set
+
+
+def _gt_filtered(x, q, allow_ids, k):
+    d2 = ((q[:, None, :] - x[None, allow_ids, :]) ** 2).sum(-1)
+    return np.asarray(allow_ids)[np.argsort(d2, axis=1)[:, :k]]
+
+
+def test_flat_filtered_exact_and_approx():
+    n, d, k = 3000, 16, 5
+    x = clustered(n, d, seed=30)
+    q = x[:64] + 0.01
+    allow = np.arange(0, n, 3)
+    gt = _gt_filtered(x, q, allow, k)
+    idx = FlatIndex(FlatConfig(dim=d))
+    idx.add(x)
+    for approx in (False, True):
+        i = np.asarray(idx.search(q, k, approx=approx, allowed=allow)[1])
+        assert _only_allowed(i, set(allow))
+        hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(64)])
+        assert hits >= (1.0 if not approx else 0.95)
+    # bool-mask form == id-list form
+    m = np.zeros(n, bool)
+    m[allow] = True
+    i2 = np.asarray(idx.search(q, k, allowed=m)[1])
+    np.testing.assert_array_equal(
+        i2, np.asarray(idx.search(q, k, allowed=allow)[1]))
+    # filter composes with deletes
+    idx.remove(allow[:10])
+    i3 = np.asarray(idx.search(q, k, allowed=allow)[1])
+    assert _only_allowed(i3, set(allow[10:]))
+    with pytest.raises(IndexError):
+        idx.search(q, k, allowed=[n + 1])
+
+
+def test_flat_filtered_pca_path():
+    n, d, k = 3000, 64, 5
+    x = clustered(n, d, seed=31)
+    q = x[:64] + 0.01
+    allow = np.arange(0, n, 4)
+    gt = _gt_filtered(x, q, allow, k)
+    idx = FlatIndex(FlatConfig(dim=d, pca_dim=16, rerank=16))
+    idx.add(x)
+    i = np.asarray(idx.search(q, k, approx=True, allowed=allow)[1])
+    assert _only_allowed(i, set(allow))
+    hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(64)])
+    assert hits >= 0.9
+
+
+def test_cagra_filtered():
+    n, d, k = 4000, 16, 5
+    x = clustered(n, d, seed=32)
+    q = x[:128] + 0.01
+    allow = np.arange(0, n, 2)
+    gt = _gt_filtered(x, q, allow, k)
+    idx = CagraIndex(CagraConfig(dim=d, degree=16))
+    idx.build(x)
+    i = np.asarray(idx.search(q, k, ef_search=48, allowed=allow)[1])
+    assert _only_allowed(i, set(allow))
+    hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(128)])
+    assert hits >= 0.9
+    # unfiltered behavior unchanged afterwards
+    i0 = np.asarray(idx.search(x[:64], 1, ef_search=32)[1])
+    assert (i0[:, 0] == np.arange(64)).mean() >= 0.95
+
+
+def test_hnsw_filtered():
+    n, d, k = 4000, 16, 5
+    x = clustered(n, d, seed=33)
+    q = x[:128] + 0.01
+    allow = np.arange(0, n, 2)
+    gt = _gt_filtered(x, q, allow, k)
+    idx = HNSW(HNSWConfig(dim=d, m=16, ef_construction=64))
+    idx.build(x)
+    i = np.asarray(idx.search(q, k, ef_search=48, allowed=allow)[1])
+    assert _only_allowed(i, set(allow))
+    hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(128)])
+    assert hits >= 0.9
+
+
+def test_ivf_filtered():
+    n, d, k = 4000, 16, 5
+    x = clustered(n, d, seed=34)
+    q = x[:128] + 0.01
+    allow = np.arange(0, n, 2)
+    gt = _gt_filtered(x, q, allow, k)
+    idx = IVFIndex(IVFConfig(dim=d, n_clusters=32))
+    idx.build(x)
+    i = np.asarray(idx.search(q, k, nprobe=8, allowed=allow)[1])
+    assert _only_allowed(i, set(allow))
+    hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(128)])
+    assert hits >= 0.9

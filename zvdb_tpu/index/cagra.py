@@ -726,12 +726,18 @@ class CagraIndex:
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
-               max_iters: Optional[int] = None):
+               max_iters: Optional[int] = None, allowed=None):
         """kNN search. q [D] or [B, D] -> (scores, ids) [B, k] ([k] squeezed).
         Invalid slots: id -1 (reference returns < k results when n < k).
         ef_search / search_degree / max_iters override the config per call
         (search-time-only knobs — the graph is unchanged; each distinct
-        combination is its own compiled program)."""
+        combination is its own compiled program).
+        allowed: optional allowlist (bool mask over ids, or int id array) —
+        filtered search via the tombstone plumbing: non-matching nodes keep
+        routing the beam and are filtered from the final ef-wide beam. For
+        very selective filters raise ef_search (the beam must hold enough
+        matching candidates) or use the flat engine (exact at any
+        selectivity)."""
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -747,8 +753,17 @@ class CagraIndex:
                 s = jnp.full((q.shape[0], k), INF if cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
             else:
+                arrs = self._search_arrays()
+                if allowed is not None:
+                    from ..utils.masks import allowed_mask
+
+                    cap = self.state.vectors.shape[0]
+                    block = ~allowed_mask(allowed, int(self.state.n), cap)
+                    arrs = arrs._replace(
+                        dead=block if arrs.dead is None
+                        else (arrs.dead | block))
                 s, i = cagra_search(
-                    self._search_arrays(), q, k, cfg.metric,
+                    arrs, q, k, cfg.metric,
                     ef_search if ef_search is not None else cfg.ef_search,
                     cfg.n_seeds, cfg.expand,
                     max_iters if max_iters is not None else cfg.max_iters,

@@ -523,12 +523,17 @@ class FlatIndex:
         out = jnp.where(i >= 0, out, jnp.inf if cfg.metric == "l2" else -jnp.inf)
         return out, i
 
-    def search(self, q, k: int, approx: bool = False):
+    def search(self, q, k: int, approx: bool = False, allowed=None):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
 
         approx=False: exact (full sort). approx=True: hardware partial-reduce
         top-k with per-query selection recall >= cfg.recall_target (TPU-KNN
         path — scoring is still a dense MXU matmul either way).
+
+        allowed: optional allowlist (bool mask over external ids, or an int
+        id array) — filtered search; only listed ids can appear in results.
+        Exact on this engine for every selectivity (the scan scores all rows
+        and the filter is one validity-bias mask; no candidate-pool loss).
 
         Empty index -> all ids are -1 (reference: empty result, src/hnsw.zig:201).
         k > n -> trailing slots have id -1 (reference returns n results,
@@ -542,29 +547,46 @@ class FlatIndex:
             raise ValueError(
                 f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
             )
-        if self.state is None:
+        state = self.state
+        proj = None
+        if state is not None and allowed is not None:
+            from ..utils.masks import allowed_mask
+
+            mask = allowed_mask(allowed, self._n_total,
+                                state.vectors.shape[0])
+            state = state._replace(
+                norms=jnp.where(mask, state.norms, jnp.inf))
+            if approx and self.cfg.pca_dim > 0:
+                self._ensure_projection()
+                proj = self._proj._replace(
+                    norms=jnp.where(mask, self._proj.norms, jnp.inf))
+        if state is None:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
         elif approx and self.cfg.pca_dim > 0:
-            self._ensure_projection()
+            if proj is None:
+                self._ensure_projection()
+                proj = self._proj
             s, i = _search_pca_rerank(
-                self._proj, self.state, self._proj_basis, self._proj_mean,
+                proj, state, self._proj_basis, self._proj_mean,
                 q, k, self.cfg.metric, self.cfg.tile_n,
                 self.cfg.recall_target, max(self.cfg.rerank, 4),
             )
-        elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8":
-            # handles cfg.rerank internally (bf16 in-kernel scan + rerank)
+        elif approx and self.cfg.scan == "pallas" and self.cfg.dtype != "int8" \
+                and allowed is None:
+            # handles cfg.rerank internally (bf16 in-kernel scan + rerank);
+            # filtered search takes the XLA path (same contract)
             s, i = self._search_pallas(q, k)
         elif approx and self.cfg.rerank:
             s, i = _search_rerank(
-                self.state, q, k, self.cfg.metric, self.cfg.tile_n,
+                state, q, k, self.cfg.metric, self.cfg.tile_n,
                 recall_target=self.cfg.recall_target,
                 scan_precision=self.cfg.scan_precision,
                 rerank=self.cfg.rerank,
             )
         else:
             s, i = _search(
-                self.state, q, k, self.cfg.metric, self.cfg.tile_n,
+                state, q, k, self.cfg.metric, self.cfg.tile_n,
                 approx=approx, recall_target=self.cfg.recall_target,
                 precision=self.cfg.precision,
             )

@@ -668,14 +668,18 @@ class HNSW:
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
-               max_iters: Optional[int] = None):
+               max_iters: Optional[int] = None, allowed=None):
         """kNN search. q: [D] or [B, D]. Returns (scores, ids) with shape [B, k]
         ([k] for a single query). Trailing invalid slots have id -1 (the
         reference returns fewer-than-k results when n < k,
         src/test_hnsw.zig:104-126 — fixed shapes + -1 is the TPU analog).
         ef_search / search_degree / max_iters override search_cfg per call
         (search-time-only knobs; each distinct combination is its own
-        compiled program)."""
+        compiled program).
+        allowed: optional allowlist over EXTERNAL ids (bool mask or int id
+        array) — filtered search; non-matching nodes keep routing the beam
+        and are filtered from the final ef-wide beam (raise ef_search for
+        very selective filters)."""
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -700,6 +704,28 @@ class HNSW:
                         dead = jnp.zeros((cap1,), bool).at[
                             : dead.shape[0]].set(dead)
                         self._dead_rows = dead
+                if allowed is not None:
+                    cap1 = self.state.nbr0.shape[0]
+                    # allowlist is over EXTERNAL ids; map to internal rows
+                    am = np.asarray(allowed)
+                    if am.dtype != bool:
+                        am_ids = am.astype(np.int64).ravel()
+                        if am_ids.size and (
+                                (am_ids < 0).any()
+                                or (am_ids >= self._n_inserted).any()):
+                            raise IndexError(
+                                f"allowed ids must be in [0, {self._n_inserted})")
+                    else:
+                        if am.shape[0] != self._n_inserted:
+                            raise ValueError(
+                                f"allowed mask length {am.shape[0]} != "
+                                f"corpus size {self._n_inserted}")
+                        am_ids = np.nonzero(am)[0]
+                    rows = self._ext_to_rows(am_ids)
+                    block = np.ones(cap1, bool)
+                    block[rows[rows >= 0]] = False
+                    blockj = jnp.asarray(block)
+                    dead = blockj if dead is None else (dead | blockj)
                 s, i, _ = search_state(
                     self.state, q, k, self.cfg.metric, ef,
                     expand=sc.expand,

@@ -396,7 +396,9 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
                     c_mask: Optional[jax.Array] = None,
                     residual: bool = False,
                     rerank: int = 0,
-                    id_map: Optional[jax.Array] = None):
+                    id_map: Optional[jax.Array] = None,
+                    allowed: Optional[jax.Array] = None,
+                    filter_widen: int = 1):
     """Batched IVF search, query-grouped. Returns (user_scores [B,k], ext_ids [B,k]).
 
     `id_map` (optional [n_local] int32): b_ids are treated as LOCAL indices —
@@ -429,7 +431,10 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         else:
             _, probes = jax.lax.top_k(-cs, p)                               # [B, P]
 
-        kk = min(k * rerank if rerank else k, bcap)
+        # filtered search: widen the per-probe pool so enough candidates
+        # survive the allowlist (the nearest ALLOWED rows can rank well
+        # beyond the unfiltered top-k of their cluster)
+        kk = min((k * rerank if rerank else k) * max(filter_widen, 1), bcap)
         if c * 8 > b * p:
             # ---- pair scan: one fat block gather per (query, probe) ------
             # The grouped path below scores C x q_cap slots on the MXU no
@@ -443,6 +448,13 @@ def ivf_search_impl(state: IVFState, q: jax.Array, k: int, nprobe: int,
         else:
             merged_s, merged_i = _grouped_scan(
                 state, qp, cs, probes, kk, metric, residual, group_slack)
+        if allowed is not None:
+            # filtered search: allowlist indexed by the ids merged_i carries
+            # (global without id_map, local with). Applied on the P*kk-wide
+            # candidate pool, before any rerank narrowing.
+            ok = jnp.take(allowed, jnp.maximum(merged_i, 0)) & (merged_i >= 0)
+            merged_s = jnp.where(ok, merged_s, INF)
+            merged_i = jnp.where(ok, merged_i, -1)
         if rerank:
             cand_s, cand_i = T.smallest_k(merged_s, merged_i, min(k * rerank, merged_s.shape[-1]))
             cand_s, cand_i = T.mask_duplicate_ids(cand_s, cand_i)
@@ -585,7 +597,7 @@ def _grouped_scan(state: IVFState, qp, cs, probes, kk: int, metric: str,
 ivf_search = jax.jit(
     ivf_search_impl,
     static_argnames=("k", "nprobe", "metric", "precision", "group_slack",
-                     "residual", "rerank"),
+                     "residual", "rerank", "filter_widen"),
 )
 
 
@@ -1103,7 +1115,11 @@ class IVFIndex:
             return self._reconstruct_all()[ids]
 
     # -- search -----------------------------------------------------------
-    def search(self, q, k: int, nprobe: Optional[int] = None):
+    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None):
+        """allowed: optional allowlist (bool mask over ids or int id array) —
+        filtered search on the probe candidate pool (P*kk wide). For very
+        selective filters raise nprobe (candidates must survive the filter)
+        or use the flat engine (exact at any selectivity)."""
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -1118,11 +1134,20 @@ class IVFIndex:
                 s = jnp.full((q.shape[0], k), INF if self.cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
             else:
+                allow_j = None
+                if allowed is not None:
+                    from ..utils.masks import allowed_mask
+
+                    allow_j = allowed_mask(
+                        allowed, int(self.state.n),
+                        max(int(self.state.n), 1))
                 np_ = min(nprobe or self.cfg.nprobe, self.state.centroids.shape[0])
                 s, i = ivf_search(
                     self.state, q, k, np_, self.cfg.metric, self.cfg.precision,
                     residual=self.cfg.dtype == "int8",
                     rerank=self.cfg.rerank,
+                    allowed=allow_j,
+                    filter_widen=8 if allow_j is not None else 1,
                 )
             if squeeze:
                 return s[0], i[0]
