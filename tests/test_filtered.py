@@ -118,3 +118,40 @@ def test_ivf_filtered():
     assert _only_allowed(i, set(allow))
     hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(128)])
     assert hits >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# sharded engines (8-virtual-device CPU mesh via conftest)
+
+
+def test_sharded_filtered_all_engines():
+    from zvdb_tpu.parallel.sharded import ShardedHNSW
+    from zvdb_tpu.parallel.sharded_cagra import ShardedCagra
+    from zvdb_tpu.parallel.sharded_flat import ShardedFlat
+    from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
+
+    n, d, k = 2400, 16, 5
+    x = clustered(n, d, seed=35)
+    q = x[:96] + 0.01
+    allow = np.arange(0, n, 2)
+    allow_set = set(allow)
+    gt = _gt_filtered(x, q, allow, k)
+
+    engines = [
+        (ShardedFlat(FlatConfig(dim=d)), dict(), 1.0),
+        (ShardedCagra(CagraConfig(dim=d, degree=16)),
+         dict(ef_search=48), 0.9),
+        (ShardedHNSW(HNSWConfig(dim=d, m=16, ef_construction=48)),
+         dict(ef_search=48), 0.9),
+        (ShardedIVF(IVFConfig(dim=d, n_clusters=16)),
+         dict(nprobe=8), 0.9),
+    ]
+    for idx, kw, floor in engines:
+        idx.build(x)
+        i = np.asarray(idx.search(q, k, allowed=allow, **kw)[1])
+        assert _only_allowed(i, allow_set), type(idx).__name__
+        hits = np.mean([len(set(i[r]) & set(gt[r])) / k for r in range(96)])
+        assert hits >= floor, (type(idx).__name__, hits)
+        # unfiltered search still fine afterwards
+        i0 = np.asarray(idx.search(x[:32], 1, **kw)[1])
+        assert (i0[:, 0] == np.arange(32)).mean() >= 0.9, type(idx).__name__

@@ -485,7 +485,10 @@ class ShardedHNSW:
 
         return run
 
-    def search(self, q, k: int, ef_search: Optional[int] = None):
+    def search(self, q, k: int, ef_search: Optional[int] = None,
+               allowed=None):
+        """allowed: optional allowlist over global ids — filtered search via
+        the tombstone mask path (raise ef_search for selective filters)."""
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
@@ -495,16 +498,28 @@ class ShardedHNSW:
         # search_cfg participates in the cache key: _make_search captures it
         # in the jitted closure, so a reassigned idx.search_cfg must rebuild
         # (frozen dataclass -> hashable)
-        with_dead = bool(self._dead)
-        if with_dead:
+        with_dead = bool(self._dead) or allowed is not None
+        if bool(self._dead):
             self._sync_dead_mask()
             dead = self._dead_mask
+        elif allowed is not None:
+            dead = jnp.zeros((self.n_shards, self.state.nbr0.shape[1]), bool)
         else:   # cached placeholder; ignored by the local fn
             if self._dead_placeholder is None:
                 self._dead_placeholder = jax.device_put(
                     jnp.zeros((self.n_shards, 1), bool),
                     NamedSharding(self.mesh, P(SHARD_AXIS)))
             dead = self._dead_placeholder
+        if allowed is not None:
+            from ..utils.masks import allowed_mask
+
+            av = allowed_mask(allowed, self._n, self._n)
+            ext = self.state.ext_ids                      # [S, cap] by row
+            block = ~(jnp.take(av, jnp.maximum(ext, 0)) & (ext >= 0))
+            block = jnp.pad(block,
+                            ((0, 0), (0, dead.shape[1] - block.shape[1])),
+                            constant_values=True)          # trash row
+            dead = dead | block
         key = (k, ef, self.search_cfg, with_dead)
         if self._search_fn is None or self._search_key != key:
             self._search_fn = self._make_search(k, ef, with_dead)

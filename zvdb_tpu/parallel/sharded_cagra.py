@@ -403,7 +403,10 @@ class ShardedCagra:
 
         return run
 
-    def search(self, q, k: int, ef_search: Optional[int] = None):
+    def search(self, q, k: int, ef_search: Optional[int] = None,
+               allowed=None):
+        """allowed: optional allowlist over global ids — filtered search via
+        the tombstone mask path (raise ef_search for selective filters)."""
         self._flush()
         # jnp, not np: device-resident query batches must not round-trip
         # through the host (a 5 MB pull+re-upload through the relay costs
@@ -418,15 +421,24 @@ class ShardedCagra:
                         np.inf if self.cfg.metric == "l2" else -np.inf)
             return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
         ef = ef_search if ef_search is not None else self.cfg.ef_search
-        with_dead = bool(self._dead)
-        if with_dead:
+        with_dead = bool(self._dead) or allowed is not None
+        if bool(self._dead):
             self._sync_dead_mask()
             dead = self._dead_mask
+        elif allowed is not None:
+            dead = jnp.zeros(self.ext_ids.shape, bool)
         else:   # cached placeholder rides the same signature; local ignores it
             if getattr(self, "_dead_placeholder", None) is None:
                 self._dead_placeholder = jax.device_put(
                     jnp.zeros((self.n_shards, 1), bool), self._sharding())
             dead = self._dead_placeholder
+        if allowed is not None:
+            from ..utils.masks import allowed_mask
+
+            av = allowed_mask(allowed, self._n, self._n)
+            block = ~(jnp.take(av, jnp.maximum(self.ext_ids, 0))
+                      & (self.ext_ids >= 0))
+            dead = dead | block
         key = (k, ef, with_dead)
         if self._search_fn is None or self._search_key != key:
             self._search_fn = self._make_search(k, ef, with_dead)

@@ -270,7 +270,10 @@ class ShardedFlat:
 
         return run
 
-    def search(self, q, k: int, approx: bool = True):
+    def search(self, q, k: int, approx: bool = True, allowed=None):
+        """allowed: optional allowlist over global ids (bool mask or id
+        array) — filtered search, exact at any selectivity (one per-call
+        validity-bias mask over the full scan)."""
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
@@ -283,4 +286,11 @@ class ShardedFlat:
             self._fns[key] = self._make(k, approx)
         q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
         st = self.state
-        return self._fns[key](st["vectors"], st["norms"], st["ids"], q)
+        norms = st["norms"]
+        if allowed is not None:
+            from ..utils.masks import allowed_mask
+
+            av = allowed_mask(allowed, self._n, self._n)   # [n] bool, device
+            ok = jnp.take(av, jnp.maximum(st["ids"], 0)) & (st["ids"] >= 0)
+            norms = jnp.where(ok, norms, jnp.inf)
+        return self._fns[key](st["vectors"], norms, st["ids"], q)

@@ -211,29 +211,32 @@ class ShardedIVF:
         self._fns = {}
 
     # ----------------------------------------------------------------- search
-    def _make(self, k: int, nprobe_local: int):
+    def _make(self, k: int, nprobe_local: int, with_allow: bool = False):
         cfg = self.cfg
         mesh = self.mesh
         specs = jax.tree.map(lambda _: P(SHARD_AXIS), self.state)
         use_map = self.id_map is not None
 
         @jax.jit
-        def run(state, c_mask, id_map, q):
-            def local(st, cm, im, q):
+        def run(state, c_mask, id_map, allow, q):
+            def local(st, cm, im, al, q):
                 st = jax.tree.map(lambda a: a[0], st)
                 s_, i_ = ivf_search_impl(
                     st, q, k, nprobe_local, cfg.metric, cfg.precision,
                     c_mask=cm[0], residual=cfg.dtype == "int8",
                     rerank=cfg.rerank,
                     id_map=im[0] if use_map else None,
+                    allowed=al[0] if with_allow else None,
+                    filter_widen=8 if with_allow else 1,
                 )
                 return s_[:, None, :], i_[:, None, :]
 
             s_, i_ = shard_map(
                 local, mesh=mesh,
-                in_specs=(specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+                in_specs=(specs, P(SHARD_AXIS), P(SHARD_AXIS),
+                          P(SHARD_AXIS), P()),
                 out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
-            )(state, c_mask, id_map, q)
+            )(state, c_mask, id_map, allow, q)
             b = s_.shape[0]
             s_ = s_.reshape(b, -1)
             i_ = i_.reshape(b, -1)
@@ -243,7 +246,7 @@ class ShardedIVF:
 
         return run
 
-    def search(self, q, k: int, nprobe: Optional[int] = None):
+    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None):
         """Shard-routed search. `nprobe` is a GLOBAL budget: each shard
         probes its `ceil(nprobe/S) + 1` best LOCAL clusters, so the union
         probes between nprobe+S and the single-chip nprobe's cluster set.
@@ -257,7 +260,11 @@ class ShardedIVF:
         centroid-score all-gather routing (one [B, C_global] matmul +
         cross-shard probe exchange) — rejected: it serializes every search
         on a global top-p and ships probe lists over ICI for no measured
-        recall win at the tested scales."""
+        recall win at the tested scales.
+
+        allowed: optional allowlist over global ids — filtered search on the
+        per-shard probe pools (widened 8x under a filter). Forces the
+        local-id+id_map layout on first use (one-time conversion)."""
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
@@ -272,13 +279,24 @@ class ShardedIVF:
             max(1, -(-p_total // self.n_shards) + 1),
             self.state.centroids.shape[1],
         )
-        key = (k, p_local)
+        with_allow = allowed is not None
+        if with_allow and self.id_map is None:
+            self._ensure_id_map(headroom=1024)
+            self._fns = {}   # id_map layout changes the compiled search
+        key = (k, p_local, with_allow, self.id_map is not None)
         if key not in self._fns:
-            self._fns[key] = self._make(k, p_local)
+            self._fns[key] = self._make(k, p_local, with_allow)
         q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
         id_map = self.id_map if self.id_map is not None else \
             jnp.zeros((self.n_shards, 0), jnp.int32)
-        return self._fns[key](self.state, self.c_mask, id_map, q)
+        if with_allow:
+            from ..utils.masks import allowed_mask
+
+            av = allowed_mask(allowed, self._n, self._n)
+            allow = jnp.take(av, jnp.maximum(id_map, 0)) & (id_map >= 0)
+        else:
+            allow = jnp.zeros((self.n_shards, 1), bool)
+        return self._fns[key](self.state, self.c_mask, id_map, allow, q)
 
     # ------------------------------------------------------ incremental insert
     def add(self, x) -> None:
