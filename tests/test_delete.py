@@ -380,3 +380,28 @@ def test_sharded_ivf_remove_append_and_roundtrip(tmp_path):
     assert back._dead == dead
     i = np.asarray(back.search(x[:200], 5, nprobe=8)[1])
     assert _no_dead_in_results(i, dead)
+
+
+def test_remove_all_then_compact_then_insert():
+    """Lifecycle edge: delete EVERY point, search (all -1), compact to an
+    empty index, then insert again — on all four engines. (Empty-corpus
+    build previously crashed the graph/ivf builders.)"""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    engines = [
+        FlatIndex(FlatConfig(dim=8)),
+        CagraIndex(CagraConfig(dim=8, degree=8)),
+        HNSW(HNSWConfig(dim=8, m=8, ef_construction=16)),
+        IVFIndex(IVFConfig(dim=8, n_clusters=4)),
+    ]
+    for idx in engines:
+        name = type(idx).__name__
+        idx.build(x) if hasattr(idx, "build") else idx.add(x)
+        idx.remove(list(range(200)))
+        assert len(idx) == 0, name
+        assert (np.asarray(idx.search(x[:4], 3)[1]) == -1).all(), name
+        assert idx.compact().size == 0, name
+        assert (np.asarray(idx.search(x[:4], 3)[1]) == -1).all(), name
+        idx.insert(x[:5])
+        ids = np.asarray(idx.search(x[:5], 1)[1])
+        assert (ids[:, 0] == np.arange(5)).all(), name

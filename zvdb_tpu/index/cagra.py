@@ -483,6 +483,17 @@ class CagraIndex:
         if not on_device:
             x = np.asarray(x, np.float32)
         n = x.shape[0]
+        if n == 0:   # empty corpus -> empty index (reference: empty search
+            # contract, src/test_hnsw.zig:43-53; also compact()-of-nothing)
+            with self._lock:
+                self._pending = []
+                self._n_inserted = 0
+                self.state = None
+                self.capacity = 0
+                self._packed_table = self._fat_pack = None
+                self._dead = set()
+                self._dead_dev = None
+            return
         with self._lock:
             self._pending = []
             self._n_inserted = n

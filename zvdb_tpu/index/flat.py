@@ -406,14 +406,18 @@ class FlatIndex:
         live_np = np.asarray(
             [i for i in range(n) if i not in self._dead], np.int64)
         if self.state is not None and live_np.size < n:
-            rows = jnp.asarray(live_np)
-            self.state = FlatState(
-                vectors=jnp.take(self.state.vectors, rows, axis=0),
-                norms=jnp.take(self.state.norms, rows, axis=0),
-                scales=jnp.take(self.state.scales, rows, axis=0),
-                n=jnp.asarray(live_np.size, jnp.int32),
-            )
-            self.capacity = int(live_np.size)
+            if live_np.size == 0:   # everything deleted -> empty index
+                self.state = None
+                self.capacity = 0
+            else:
+                rows = jnp.asarray(live_np)
+                self.state = FlatState(
+                    vectors=jnp.take(self.state.vectors, rows, axis=0),
+                    norms=jnp.take(self.state.norms, rows, axis=0),
+                    scales=jnp.take(self.state.scales, rows, axis=0),
+                    n=jnp.asarray(live_np.size, jnp.int32),
+                )
+                self.capacity = int(live_np.size)
         self._dead = set()
         return live_np
 

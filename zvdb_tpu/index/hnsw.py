@@ -535,6 +535,15 @@ class HNSW:
         # the batched path is host-driven and still needs numpy
         if not (oneshot and isinstance(x, jax.Array)):
             x = np.asarray(x, dtype=np.float32)
+        if x.shape[0] == 0:   # empty corpus -> empty index
+            with self._lock:
+                self._pending = []
+                self._n_inserted = 0
+                self.state = None
+                self.capacity = 0
+                self._dead = set()
+                self._dead_rows = None
+            return
         with self._lock:
             self._pending = []
             self._n_inserted = x.shape[0]

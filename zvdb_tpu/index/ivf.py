@@ -738,6 +738,13 @@ class IVFIndex:
         if not on_device:
             x = np.asarray(x, np.float32)
         n = x.shape[0]
+        if n == 0:   # empty corpus -> empty index
+            with self._lock:
+                self._pending = []
+                self._n_inserted = 0
+                self.state = None
+                self._dead = set()
+            return
         with self._lock:
             self._pending = []
             self._n_inserted = n
