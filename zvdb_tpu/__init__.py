@@ -20,6 +20,7 @@ from .index.hnsw import HNSW, HNSWState
 from .index.ivf import IVFConfig, IVFIndex
 from .index.cagra import CagraConfig, CagraIndex
 from .serve import SearchServer
+from .utils.router import relative_contrast, suggest_engine
 
 __all__ = [
     "HNSW",
@@ -34,6 +35,8 @@ __all__ = [
     "SearchConfig",
     "FlatConfig",
     "SearchServer",
+    "relative_contrast",
+    "suggest_engine",
 ]
 
 
