@@ -202,3 +202,23 @@ def test_pca_filtered_search(metric):
     idx.remove(list(range(100)))
     ids = np.asarray(idx.search(x[:100], 5, approx=True)[1])
     assert not np.isin(ids.ravel(), np.arange(100)).any()
+
+
+def test_pca_projection_invalidated_on_same_size_rebuild():
+    """Review regression: rebuilding with an equal-size corpus must not
+    reuse the previous corpus's cached PCA projection (the old revision key
+    (n, n_dead) collided on same-size rebuilds)."""
+    rng = np.random.default_rng(3)
+    nc, n, d = 32, 3000, 64
+    ca = rng.standard_normal((nc, d)).astype(np.float32)
+    a = (ca[rng.integers(0, nc, n)]
+         + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    cb = 10 + rng.standard_normal((nc, d)).astype(np.float32)  # disjoint
+    b = (cb[rng.integers(0, nc, n)]
+         + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = FlatIndex(FlatConfig(dim=d, pca_dim=16, rerank=16))
+    idx.add(a)
+    _ = idx.search(a[:8], 5, approx=True)   # caches projection of corpus A
+    idx.build(b)                            # same size, different corpus
+    i = np.asarray(idx.search(b[:128], 1, approx=True)[1])
+    assert (i[:, 0] == np.arange(128)).mean() >= 0.95

@@ -265,10 +265,10 @@ def _project_corpus(state: FlatState, basis: jax.Array, mean: jax.Array,
                      n=state.n)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "metric", "tile_n",
+@functools.partial(jax.jit, static_argnames=("metric", "tile_n",
                                               "precision"))
-def _count_range(state: FlatState, q: jax.Array, radius: float, metric: str,
-                 tile_n: int, precision: str):
+def _count_range(state: FlatState, q: jax.Array, radius: jax.Array,
+                 metric: str, tile_n: int, precision: str):
     """Exact in-range neighbor count per query [B] (user-score convention:
     squared-L2 <= radius for l2, similarity >= radius for dot/cosine).
     Same tiled scan shape as _search; invalid/tombstoned rows carry +inf
@@ -321,7 +321,8 @@ class FlatIndex:
         self._proj: Optional[FlatState] = None
         self._proj_basis: Optional[jax.Array] = None   # [D, p]
         self._proj_mean: Optional[jax.Array] = None    # [D] (zeros for dot)
-        self._proj_rev = None   # (n_total, n_dead) the projection reflects
+        self._proj_rev = None   # mutation counter the projection reflects
+        self._mutations = 0      # bumped on every content change
 
     def __len__(self) -> int:
         """Live count (inserted minus deleted)."""
@@ -364,6 +365,7 @@ class FlatIndex:
             )
         self._ensure_capacity(x.shape[0])
         self.state = _ingest(self.state, x, self.cfg.metric, self.cfg.dtype)
+        self._mutations += 1
 
     insert = add  # reference-parity alias (src/hnsw.zig:73)
 
@@ -395,6 +397,7 @@ class FlatIndex:
         self.state = self.state._replace(
             norms=self.state.norms.at[rows].set(jnp.inf))
         self._dead.update(new)
+        self._mutations += 1
         return len(new)
 
     def compact(self) -> np.ndarray:
@@ -403,8 +406,10 @@ class FlatIndex:
         new_id == position in the returned array. No re-quantization: stored
         codes/norms/scales move verbatim."""
         n = self._n_total
-        live_np = np.asarray(
-            [i for i in range(n) if i not in self._dead], np.int64)
+        live = np.ones(n, bool)
+        if self._dead:
+            live[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+        live_np = np.flatnonzero(live)
         if self.state is not None and live_np.size < n:
             if live_np.size == 0:   # everything deleted -> empty index
                 self.state = None
@@ -419,6 +424,7 @@ class FlatIndex:
                 )
                 self.capacity = int(live_np.size)
         self._dead = set()
+        self._mutations += 1
         return live_np
 
     def save(self, path: str) -> None:
@@ -480,7 +486,7 @@ class FlatIndex:
         Basis: top pca_dim right singular vectors of a corpus sample
         (centered for l2 — pairwise differences are centering-invariant;
         UNcentered for dot/cosine, where centering would corrupt dots)."""
-        rev = (self._n_total, len(self._dead))
+        rev = self._mutations
         if self._proj is not None and self._proj_rev == rev:
             return
         cfg = self.cfg
@@ -631,9 +637,12 @@ class FlatIndex:
             i = jnp.where(in_r, i, -1)
             s = jnp.where(in_r, s, jnp.inf if self.cfg.metric == "l2"
                           else -jnp.inf)
+            # radius is TRACED (one compiled program serves every radius;
+            # each distinct value would otherwise cost a 20-30 s remote
+            # compile through this relay)
             c = _count_range(
-                self.state, q, float(radius), self.cfg.metric,
-                self.cfg.tile_n, self.cfg.precision,
+                self.state, q, jnp.asarray(radius, jnp.float32),
+                self.cfg.metric, self.cfg.tile_n, self.cfg.precision,
             )
         if squeeze:
             return s[0], i[0], c[0]

@@ -661,9 +661,10 @@ class HNSW:
         (new_id == position). One bulk build — cheap on this engine."""
         with self._lock:
             self._flush_locked()
-            live = np.asarray(
-                [i for i in range(self._n_inserted) if i not in self._dead],
-                np.int64)
+            alive = np.ones(self._n_inserted, bool)
+            if self._dead:
+                alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+            live = np.flatnonzero(alive)
             if self.state is None or len(self._dead) == 0:
                 return live
             rows = self._ext_to_rows(live)
@@ -714,26 +715,19 @@ class HNSW:
                             : dead.shape[0]].set(dead)
                         self._dead_rows = dead
                 if allowed is not None:
+                    from ..utils.masks import allowed_mask
+
+                    # allowlist is over EXTERNAL ids; block by internal row
+                    # fully on device (ext_ids gather — no host inverse
+                    # table or O(cap) upload per call)
+                    av = allowed_mask(allowed, self._n_inserted,
+                                      self._n_inserted)
+                    ext = self.state.ext_ids              # [cap] row -> ext
+                    blockj = ~(jnp.take(av, jnp.maximum(ext, 0))
+                               & (ext >= 0))
                     cap1 = self.state.nbr0.shape[0]
-                    # allowlist is over EXTERNAL ids; map to internal rows
-                    am = np.asarray(allowed)
-                    if am.dtype != bool:
-                        am_ids = am.astype(np.int64).ravel()
-                        if am_ids.size and (
-                                (am_ids < 0).any()
-                                or (am_ids >= self._n_inserted).any()):
-                            raise IndexError(
-                                f"allowed ids must be in [0, {self._n_inserted})")
-                    else:
-                        if am.shape[0] != self._n_inserted:
-                            raise ValueError(
-                                f"allowed mask length {am.shape[0]} != "
-                                f"corpus size {self._n_inserted}")
-                        am_ids = np.nonzero(am)[0]
-                    rows = self._ext_to_rows(am_ids)
-                    block = np.ones(cap1, bool)
-                    block[rows[rows >= 0]] = False
-                    blockj = jnp.asarray(block)
+                    blockj = jnp.pad(blockj, (0, cap1 - blockj.shape[0]),
+                                     constant_values=True)  # trash row
                     dead = blockj if dead is None else (dead | blockj)
                 s, i, _ = search_state(
                     self.state, q, k, self.cfg.metric, ef,

@@ -1084,8 +1084,10 @@ class IVFIndex:
         with self._lock:
             self._flush_locked()
             n = 0 if self.state is None else int(self.state.n)
-            live = np.asarray(
-                [i for i in range(n) if i not in self._dead], np.int64)
+            alive = np.ones(n, bool)
+            if self._dead:
+                alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+            live = np.flatnonzero(alive)
             if self.state is None or not self._dead:
                 return live
             vecs = self._reconstruct_all()[live]
