@@ -405,3 +405,33 @@ def test_remove_all_then_compact_then_insert():
         idx.insert(x[:5])
         ids = np.asarray(idx.search(x[:5], 1)[1])
         assert (ids[:, 0] == np.arange(5)).all(), name
+
+
+def test_sharded_compact_all_engines():
+    """compact() on the sharded engines: tombstones dropped, survivors
+    renumbered to [0, L) in former order, search works on the new ids."""
+    from zvdb_tpu.parallel.sharded import ShardedHNSW
+    from zvdb_tpu.parallel.sharded_cagra import ShardedCagra
+    from zvdb_tpu.parallel.sharded_flat import ShardedFlat
+    from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
+
+    n, d = 1600, 16
+    x = clustered(n, d, seed=20)
+    dead = sorted(range(0, n, 5))
+    engines = [
+        (ShardedFlat(FlatConfig(dim=d)), dict()),
+        (ShardedCagra(CagraConfig(dim=d, degree=16)), dict(ef_search=32)),
+        (ShardedHNSW(HNSWConfig(dim=d, m=16, ef_construction=48)),
+         dict(ef_search=32)),
+        (ShardedIVF(IVFConfig(dim=d, n_clusters=16)), dict(nprobe=8)),
+    ]
+    for idx, kw in engines:
+        name = type(idx).__name__
+        idx.build(x)
+        idx.remove(dead)
+        old_ids = idx.compact()
+        assert len(idx) == n - len(dead), name
+        assert old_ids.shape == (n - len(dead),), name
+        assert not np.isin(old_ids, dead).any(), name
+        ii = np.asarray(idx.search(x[old_ids[:128]], 1, **kw)[1])
+        assert (ii[:, 0] == np.arange(128)).mean() >= 0.9, name

@@ -153,6 +153,27 @@ class ShardedHNSW:
         self._search_fn = None
         return int(new.size)
 
+    def compact(self) -> np.ndarray:
+        """Drop tombstones; survivors renumber to [0, L) in former global-id
+        order (one re-shard + rebuild). Returns the survivors' old ids."""
+        self._flush()
+        alive = np.ones(self._n, bool)
+        if self._dead:
+            alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+        live = np.flatnonzero(alive)
+        if self.state is None or not self._dead:
+            self._dead = set()
+            return live
+        ext = np.asarray(self.state.ext_ids)                 # [S, cap]
+        vecs = np.asarray(self.state.vectors, np.float32)    # [S, cap, D]
+        if self.cfg.dtype == "int8":
+            vecs = vecs * np.asarray(self.state.q_scale)[:, None, None]
+        x_all = np.empty((self._n, self.cfg.dim), np.float32)
+        sel = ext >= 0
+        x_all[ext[sel]] = vecs[sel]
+        self.build(x_all[live])
+        return live
+
     def _sync_dead_mask(self) -> None:
         cap1 = self.state.nbr0.shape[1]         # per-shard cap + trash row
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))

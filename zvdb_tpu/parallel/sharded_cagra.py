@@ -95,6 +95,27 @@ class ShardedCagra:
         self._search_fn = None   # signature gains the mask input
         return int(new.size)
 
+    def compact(self) -> np.ndarray:
+        """Drop tombstones; survivors renumber to [0, L) in former global-id
+        order (one re-shard + rebuild). Returns the survivors' old ids."""
+        self._flush()
+        alive = np.ones(self._n, bool)
+        if self._dead:
+            alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+        live = np.flatnonzero(alive)
+        if self.state is None or not self._dead:
+            self._dead = set()
+            return live
+        ext = np.asarray(self.ext_ids)                       # [S, cap]
+        vecs = np.asarray(self.state.vectors, np.float32)    # [S, cap, D]
+        if self.cfg.dtype == "int8":
+            vecs = vecs * np.asarray(self.state.q_scale)[:, None, None]
+        x_all = np.empty((self._n, self.cfg.dim), np.float32)
+        sel = ext >= 0
+        x_all[ext[sel]] = vecs[sel]
+        self.build(x_all[live])
+        return live
+
     def _sync_dead_mask(self) -> None:
         """Create/grow the stacked [S, cap] tombstone mask to the current
         shard capacity (extends regrow the state arrays)."""

@@ -68,6 +68,25 @@ class ShardedFlat:
         self._dead.update(int(i) for i in new)
         return int(new.size)
 
+    def compact(self) -> np.ndarray:
+        """Drop tombstones; survivors renumber to [0, L) in former global-id
+        order (one re-shard + rebuild). Returns the survivors' old ids."""
+        self._flush()
+        alive = np.ones(self._n, bool)
+        if self._dead:
+            alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+        live = np.flatnonzero(alive)
+        if self.state is None or not self._dead:
+            self._dead = set()
+            return live
+        ids = np.asarray(self.state["ids"])
+        vecs = np.asarray(self.state["vectors"], np.float32)
+        x_all = np.empty((self._n, self.cfg.dim), np.float32)
+        sel = ids >= 0
+        x_all[ids[sel]] = vecs[sel]
+        self.build(x_all[live])
+        return live
+
     def build(self, x) -> None:
         x = np.asarray(x, np.float32)
         n = x.shape[0]

@@ -455,10 +455,10 @@ class ShardedIVF:
         self.id_map = jax.device_put(jnp.asarray(idmap), sh)
         self._fns = {}
 
-    def _rebuild_with(self, new: np.ndarray) -> None:
-        """Overflow fallback: reconstruct all vectors in global-id order and
-        rebuild + re-shard (ids stay stable)."""
-        x_all = np.empty((self._n + new.shape[0], self.cfg.dim), np.float32)
+    def _reconstruct_global(self, extra_rows: int = 0) -> np.ndarray:
+        """All stored vectors in global-id order [n(+extra), D] f32.
+        Tombstoned rows are decoded and included (their ids stay occupied)."""
+        x_all = np.empty((self._n + extra_rows, self.cfg.dim), np.float32)
         if self.id_map is not None and self.cfg.rerank:
             im = np.asarray(self.id_map)
             rr = np.asarray(self.state.rerank_vecs, np.float32)
@@ -471,9 +471,7 @@ class ShardedIVF:
                 blocks = blocks * np.asarray(self.state.b_scales)[..., None] \
                     + np.asarray(self.state.centroids)[:, :, None, :]
             ids = np.asarray(self.state.b_ids)
-            # decode tombstones: dead vectors must ride along so their ids
-            # stay occupied; they are re-marked after the rebuild below
-            ids = np.where(ids <= -2, -2 - ids, ids)
+            ids = np.where(ids <= -2, -2 - ids, ids)   # decode tombstones
             sel = ids >= 0
             glob = ids[sel]
             if self.id_map is not None:
@@ -482,6 +480,12 @@ class ShardedIVF:
                     im[si][ids[si][ids[si] >= 0]] for si in range(self.n_shards)
                 ])
             x_all[glob] = blocks[sel]
+        return x_all
+
+    def _rebuild_with(self, new: np.ndarray) -> None:
+        """Overflow fallback: reconstruct all vectors in global-id order and
+        rebuild + re-shard (ids stay stable; tombstones re-marked after)."""
+        x_all = self._reconstruct_global(extra_rows=new.shape[0])
         x_all[self._n:] = new
         n_total = self._n + new.shape[0]
         dead = self._dead
@@ -490,6 +494,21 @@ class ShardedIVF:
         if dead:
             self._dead = dead
             self._mark_dead(np.asarray(sorted(dead), np.int64))
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstones; survivors renumber to [0, L) in former global-id
+        order (one re-shard + rebuild). Returns the survivors' old ids."""
+        self._flush()
+        alive = np.ones(self._n, bool)
+        if self._dead:
+            alive[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+        live = np.flatnonzero(alive)
+        if self.state is None or not self._dead:
+            self._dead = set()
+            return live
+        x_all = self._reconstruct_global()
+        self.build(x_all[live])
+        return live
 
     # ------------------------------------------------------------ persistence
     def save(self, path: str) -> None:
