@@ -435,3 +435,39 @@ def test_sharded_compact_all_engines():
         assert not np.isin(old_ids, dead).any(), name
         ii = np.asarray(idx.search(x[old_ids[:128]], 1, **kw)[1])
         assert (ii[:, 0] == np.arange(128)).mean() >= 0.9, name
+
+
+def test_flat_concurrent_add_remove_threadsafe():
+    """8 threads interleaving add() and remove() lose no update (the
+    reference's concurrent-access contract, src/test_hnsw.zig:154-209,
+    extended to deletes)."""
+    import threading
+
+    d = 8
+    idx = FlatIndex(FlatConfig(dim=d))
+    rng = np.random.default_rng(0)
+    idx.add(rng.standard_normal((800, d)).astype(np.float32))
+
+    def adder(t):
+        r = np.random.default_rng(t)
+        for _ in range(25):
+            idx.add(r.standard_normal((4, d)).astype(np.float32))
+
+    def remover(t):
+        for i in range(25):
+            idx.remove([t * 100 + i])
+
+    ts = [threading.Thread(target=adder, args=(t,)) for t in range(4)] + \
+         [threading.Thread(target=remover, args=(t,)) for t in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # 800 + 4*25*4 added, 4*25 removed — len must balance exactly
+    assert len(idx) == 800 + 400 - 100
+    assert idx._n_total == 1200
+    # every tombstone is actually marked on device
+    assert (np.asarray(idx.state.norms)[sorted(idx._dead)] == np.inf).all()
+    # removed ids never surface
+    i = np.asarray(idx.search(idx.get([150])[0], 5)[1])
+    assert not np.isin(i.ravel(), sorted(idx._dead)).any()

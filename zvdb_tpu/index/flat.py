@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import json
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -316,6 +317,13 @@ class FlatIndex:
             init_state(self.capacity, cfg) if capacity else None
         )
         self._dead: set[int] = set()   # tombstoned external ids (host mirror)
+        # Guards mutations (add/remove/compact/build): each is a
+        # read-modify-write of self.state, so two concurrent mutators could
+        # drop one's update. Searches stay lock-free — they read self.state
+        # once (an atomic attribute read of an immutable pytree snapshot);
+        # the reference serialized reads too (src/hnsw.zig:195), which is
+        # exactly the contention its own benchmark notes blame.
+        self._write_lock = threading.RLock()
         # PCA-filter derived state (cfg.pca_dim > 0): projected corpus +
         # basis, rebuilt lazily when contents change — never persisted
         self._proj: Optional[FlatState] = None
@@ -363,18 +371,20 @@ class FlatIndex:
             raise ValueError(
                 f"dimension mismatch: index dim {self.cfg.dim}, got {x.shape[-1]}"
             )
-        self._ensure_capacity(x.shape[0])
-        self.state = _ingest(self.state, x, self.cfg.metric, self.cfg.dtype)
-        self._mutations += 1
+        with self._write_lock:
+            self._ensure_capacity(x.shape[0])
+            self.state = _ingest(self.state, x, self.cfg.metric, self.cfg.dtype)
+            self._mutations += 1
 
     insert = add  # reference-parity alias (src/hnsw.zig:73)
 
     def build(self, x) -> None:
         """Replace contents with corpus x (engine-uniform bulk-build API)."""
-        self.state = None
-        self.capacity = 0
-        self._dead = set()
-        self.add(x)
+        with self._write_lock:
+            self.state = None
+            self.capacity = 0
+            self._dead = set()
+            self.add(x)
 
     def remove(self, ids) -> int:
         """Delete by external id (tombstone). Ids never renumber — the
@@ -387,45 +397,47 @@ class FlatIndex:
         ids = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
         if ids.size == 0:
             return 0
-        n = self._n_total
-        if (ids < 0).any() or (ids >= n).any():
-            raise IndexError(f"ids must be in [0, {n})")
-        new = [int(i) for i in ids if int(i) not in self._dead]
-        if not new:
-            return 0
-        rows = jnp.asarray(np.asarray(new, np.int64))
-        self.state = self.state._replace(
-            norms=self.state.norms.at[rows].set(jnp.inf))
-        self._dead.update(new)
-        self._mutations += 1
-        return len(new)
+        with self._write_lock:
+            n = self._n_total
+            if (ids < 0).any() or (ids >= n).any():
+                raise IndexError(f"ids must be in [0, {n})")
+            new = [int(i) for i in ids if int(i) not in self._dead]
+            if not new:
+                return 0
+            rows = jnp.asarray(np.asarray(new, np.int64))
+            self.state = self.state._replace(
+                norms=self.state.norms.at[rows].set(jnp.inf))
+            self._dead.update(new)
+            self._mutations += 1
+            return len(new)
 
     def compact(self) -> np.ndarray:
         """Drop tombstoned rows and renumber the survivors to [0, L) in their
         former order. Returns the survivors' OLD ids ([L] int64), so
         new_id == position in the returned array. No re-quantization: stored
         codes/norms/scales move verbatim."""
-        n = self._n_total
-        live = np.ones(n, bool)
-        if self._dead:
-            live[np.fromiter(self._dead, np.int64, len(self._dead))] = False
-        live_np = np.flatnonzero(live)
-        if self.state is not None and live_np.size < n:
-            if live_np.size == 0:   # everything deleted -> empty index
-                self.state = None
-                self.capacity = 0
-            else:
-                rows = jnp.asarray(live_np)
-                self.state = FlatState(
-                    vectors=jnp.take(self.state.vectors, rows, axis=0),
-                    norms=jnp.take(self.state.norms, rows, axis=0),
-                    scales=jnp.take(self.state.scales, rows, axis=0),
-                    n=jnp.asarray(live_np.size, jnp.int32),
-                )
-                self.capacity = int(live_np.size)
-        self._dead = set()
-        self._mutations += 1
-        return live_np
+        with self._write_lock:
+            n = self._n_total
+            live = np.ones(n, bool)
+            if self._dead:
+                live[np.fromiter(self._dead, np.int64, len(self._dead))] = False
+            live_np = np.flatnonzero(live)
+            if self.state is not None and live_np.size < n:
+                if live_np.size == 0:   # everything deleted -> empty index
+                    self.state = None
+                    self.capacity = 0
+                else:
+                    rows = jnp.asarray(live_np)
+                    self.state = FlatState(
+                        vectors=jnp.take(self.state.vectors, rows, axis=0),
+                        norms=jnp.take(self.state.norms, rows, axis=0),
+                        scales=jnp.take(self.state.scales, rows, axis=0),
+                        n=jnp.asarray(live_np.size, jnp.int32),
+                    )
+                    self.capacity = int(live_np.size)
+            self._dead = set()
+            self._mutations += 1
+            return live_np
 
     def save(self, path: str) -> None:
         """npz snapshot (config + arrays). Tombstones ride in `norms` (+inf
