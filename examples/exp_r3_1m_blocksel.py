@@ -43,6 +43,7 @@ def main():
     variants = [
         ("approx", dict(block_topk="approx")),
         ("pallas", dict(block_topk="pallas")),
+        ("binfold", dict(block_topk="binfold")),
         ("exact", dict(block_topk="exact")),
         ("approx_b512", dict(block_topk="approx", block=512)),
         ("pallas_b512", dict(block_topk="pallas", block=512)),
