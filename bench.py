@@ -76,6 +76,42 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # Honor an explicit CPU request (smoke runs) before any device touch;
+        # the sitecustomize re-pins jax_platforms to the TPU tunnel.
+        jax.config.update("jax_platforms", "cpu")
+
+    # Device-init watchdog. Normal init through the axon relay is ~100-150 s;
+    # a DOWN relay hangs the first device op ~30 min before raising
+    # UNAVAILABLE (measured during a round-3 outage), and the hang sits in
+    # C code, so SIGALRM never fires. Probe from a daemon thread with a
+    # bounded join instead; on timeout (or an init exception) emit the one
+    # JSON line with an `error` field instead of hanging the driver with no
+    # output at all.
+    import threading
+
+    init_budget = int(os.environ.get("ZVDB_BENCH_INIT_TIMEOUT", "900"))
+    probe_ok, probe_err = [], []
+
+    def _probe():
+        try:
+            probe_ok.append(jax.devices())
+        except Exception as e:   # backend init raised (e.g. UNAVAILABLE)
+            probe_err.append(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(init_budget)
+    if not probe_ok:
+        e = probe_err[0] if probe_err else TimeoutError(
+            f"device init exceeded {init_budget}s watchdog")
+        print(json.dumps({
+            "metric": "search_qps_at_recall_0.95",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+            "error": f"device backend unavailable: {type(e).__name__}: {e}",
+        }), flush=True)
+        os._exit(1)   # plain exit would hang on the stuck init thread
+
     from zvdb_tpu import (
         FlatConfig, FlatIndex, HNSW, HNSWConfig, IVFConfig, IVFIndex,
     )
