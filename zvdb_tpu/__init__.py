@@ -14,11 +14,12 @@ src/zvdb.zig:1; we keep that plus the engine pieces around it):
     from zvdb_tpu import HNSWConfig, SearchConfig, FlatConfig
 """
 
-from .utils.config import FlatConfig, HNSWConfig, SearchConfig
+from .utils.config import FlatConfig, HNSWConfig, PQConfig, SearchConfig
 from .index.flat import FlatIndex, exact_ground_truth
 from .index.hnsw import HNSW, HNSWState
 from .index.ivf import IVFConfig, IVFIndex
 from .index.cagra import CagraConfig, CagraIndex
+from .index.pqflat import PQFlatIndex
 from .serve import SearchServer
 from .utils.router import relative_contrast, suggest_engine
 
@@ -30,6 +31,8 @@ __all__ = [
     "FlatIndex",
     "IVFIndex",
     "IVFConfig",
+    "PQFlatIndex",
+    "PQConfig",
     "exact_ground_truth",
     "HNSWConfig",
     "SearchConfig",

@@ -1,0 +1,149 @@
+"""Product quantization (PQ) ops: train / encode / decode, all in MXU form.
+
+The memory lever the int8 path can't reach: int8 stores D bytes/vector (128 B
+at 128d), PQ stores n_sub bytes/vector (16 B at n_sub=16) — 8x smaller, which
+is what makes 100M-vector configurations fit per chip (BASELINE config 5:
+100M x 16 B = 1.6 GB of codes vs 12.8 GB int8 / 51.2 GB f32).
+
+TPU-native formulation — the classical ADC scan is a per-row LUT gather,
+and XLA row-gathers are the measured pathology on this platform (~7-9 ns/row,
+row-count-bound). Instead every step here is a matmul:
+
+  train : per-subspace Lloyd, vmapped over subspaces — assignment is a
+          [m, C] distance matmul + argmin, the centroid update is the
+          one-hot-matmul trick (onehot^T @ x), identical in spirit to the
+          IVF k-means (index/ivf.py).
+  encode: per-subspace nearest-centroid assignment, tiled with lax.scan so
+          the [chunk, S, C] distance block stays bounded.
+  decode: onehot(codes) @ codebooks per subspace — one [T, C] x [C, dsub]
+          matmul per subspace instead of T gathers. Decode FLOPs are
+          T*C*D regardless of batch, so against a [B, T] scoring matmul
+          (B*D*T FLOPs) decode adds only C/B overhead (~3% at B=8192).
+
+Scoring is asymmetric (ADC): exact f32 queries against decoded (quantized)
+corpus rows, the standard recall-preserving choice. No reference counterpart
+(the reference stores raw f32 only, src/hnsw.zig:24-26); this extends the
+"Different Data Types" capability axis (src/test_hnsw.zig:239-273) the same
+way the int8 path does.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import distance as D
+
+
+@functools.partial(jax.jit, static_argnames=("n_sub", "n_codes", "iters"))
+def train_codebooks(
+    xs: jax.Array, key: jax.Array, n_sub: int, n_codes: int, iters: int,
+) -> jax.Array:
+    """Per-subspace k-means codebooks from a training sample.
+
+    xs: [m, D] f32 sample (already metric-preprocessed: normalized for
+    cosine). Returns codebooks [n_sub, n_codes, D // n_sub] f32.
+
+    All subspaces run one vmapped Lloyd loop: assignment is a distance
+    matmul + argmin, the update is onehot^T @ x — pure MXU work, no host
+    round-trips. Empty clusters keep their previous centroid (same policy
+    as the IVF k-means).
+    """
+    m, d = xs.shape
+    dsub = d // n_sub
+    x_s = xs.reshape(m, n_sub, dsub).transpose(1, 0, 2)  # [S, m, dsub]
+
+    # independent init per subspace: distinct centroid draws
+    keys = jax.random.split(key, n_sub)
+    init_sel = jax.vmap(
+        lambda k: jax.random.choice(k, m, (n_codes,), replace=m < n_codes)
+    )(keys)                                              # [S, C]
+    cent = jnp.take_along_axis(x_s, init_sel[:, :, None], axis=1)  # [S, C, dsub]
+
+    def lloyd(cent, _):
+        cn = jnp.sum(cent * cent, axis=-1)               # [S, C]
+        dots = jnp.einsum("smd,scd->smc", x_s, cent,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        a = jnp.argmin(cn[:, None, :] - 2.0 * dots, axis=-1)   # [S, m]
+        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32)     # [S, m, C]
+        sums = jnp.einsum("smc,smd->scd", oh, x_s,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        cnt = oh.sum(axis=1)                             # [S, C]
+        new = sums / jnp.maximum(cnt, 1.0)[..., None]
+        return jnp.where((cnt > 0)[..., None], new, cent), None
+
+    cent, _ = jax.lax.scan(lloyd, cent, None, length=iters)
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def encode(x: jax.Array, codebooks: jax.Array, chunk: int = 16384) -> jax.Array:
+    """Nearest-centroid codes per subspace: [B, D] f32 -> [B, S] uint8.
+
+    Tiled with lax.scan so the [chunk, S, C] distance block stays bounded
+    (a one-shot encode of 1M rows would materialize a 16 GB intermediate).
+    """
+    b, d = x.shape
+    n_sub, n_codes, dsub = codebooks.shape
+    chunk = min(chunk, max(b, 1))
+    n_chunks = -(-b // chunk) if b else 1
+    pad = n_chunks * chunk - b
+    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, n_sub, dsub)
+    cn = jnp.sum(codebooks * codebooks, axis=-1)         # [S, C]
+
+    def body(_, xt):                                     # xt [chunk, S, dsub]
+        dots = jnp.einsum("tsd,scd->tsc", xt, codebooks,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        a = jnp.argmin(cn[None] - 2.0 * dots, axis=-1)   # [chunk, S]
+        return None, a.astype(jnp.uint8)
+
+    _, codes = jax.lax.scan(body, None, xp)
+    return codes.reshape(n_chunks * chunk, n_sub)[:b]
+
+
+def decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Reconstruct rows: [T, S] uint8 codes -> [T, D] f32.
+
+    One-hot matmul per subspace (einsum over the code axis) — the gather-free
+    decode. 0/1 one-hot entries are exact in any dtype; the codebook stays
+    f32 so decoded values match the norms computed at encode time bit-for-bit
+    (l2 scoring depends on that consistency).
+    """
+    t = codes.shape[0]
+    n_sub, n_codes, dsub = codebooks.shape
+    oh = jax.nn.one_hot(codes, n_codes, dtype=jnp.float32)  # [T, S, C]
+    out = jnp.einsum("tsc,scd->tsd", oh, codebooks,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(t, n_sub * dsub)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def decoded_sq_norms(codes: jax.Array, codebooks: jax.Array,
+                     chunk: int = 16384) -> jax.Array:
+    """||decode(codes)||^2 per row, tiled: [B, S] -> [B] f32.
+
+    Cheaper than a full decode: per-subspace squared centroid norms are a
+    [C]-table lookup done as a one-hot matvec, and subspace norms add
+    (subspaces are disjoint coordinate blocks).
+    """
+    b = codes.shape[0]
+    n_sub, n_codes, _ = codebooks.shape
+    cn = jnp.sum(codebooks * codebooks, axis=-1)         # [S, C]
+    chunk = min(chunk, max(b, 1))
+    n_chunks = -(-b // chunk) if b else 1
+    pad = n_chunks * chunk - b
+    cp = jnp.pad(codes, ((0, pad), (0, 0))).reshape(n_chunks, chunk, n_sub)
+
+    def body(_, ct):                                     # ct [chunk, S]
+        oh = jax.nn.one_hot(ct, n_codes, dtype=jnp.float32)   # [chunk, S, C]
+        return None, jnp.einsum("tsc,sc->t", oh, cn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    _, norms = jax.lax.scan(body, None, cp)
+    return norms.reshape(n_chunks * chunk)[:b]

@@ -112,6 +112,77 @@ class HNSWConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PQConfig:
+    """Product-quantized flat index config (index/pqflat.py, ops/pq.py).
+
+    The memory-scaling engine: n_sub bytes/vector of PQ codes (vs D bytes
+    int8, 4D bytes f32). Defaults give the high-recall configuration —
+    PQ scan + int8 refine rerank — at (n_sub + dim + 4) bytes/vector; set
+    refine="none" for the pure-codes footprint (n_sub + 4 bytes/vector,
+    recall bounded by quantization error; measure before choosing)."""
+
+    dim: int
+    metric: Metric = "l2"
+    # Subspace count: codes are n_sub bytes/vector; dim % n_sub must be 0.
+    # More subspaces = finer quantization = better recall, linearly more
+    # memory. dsub = dim/n_sub of 8 is the classic operating point.
+    n_sub: int = 16
+    # Codewords per subspace. 256 keeps codes one byte and is standard;
+    # the decode matmul cost scales linearly with it.
+    n_codes: int = 256
+    # Corpus rows per scan tile. Smaller than FlatConfig's 131072: the
+    # decode step materializes a [tile, n_sub, n_codes] one-hot block
+    # (tile=16384, S=16, C=256 -> 268 MB f32), so the tile bounds it.
+    tile_n: int = 16384
+    # Matmul precision for scoring decoded tiles ("highest"|"high"|"default").
+    # PQ reconstruction error dominates bf16 matmul noise only for coarse
+    # codes; "high" is safe everywhere (the measured bf16-cliff discipline).
+    precision: str = "high"
+    # Selection recall floor for the hardware approx top-k scan pass.
+    recall_target: float = 0.95
+    # Refine store for the exact rerank pass: "int8" (D+4 bytes/vector,
+    # near-exact), "float32"/"bfloat16" (exact / half), "none" (codes only).
+    refine: str = "int8"
+    # Candidates per result entering the refine rerank (refine != "none").
+    rerank: int = 8
+    # Codebook training: sample size and Lloyd iterations. Codebooks are
+    # trained once on the first build/add and FROZEN; later adds encode
+    # against them (re-training would re-encode the whole corpus).
+    train_sample: int = 32768
+    kmeans_iters: int = 8
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.metric not in _VALID_METRICS:
+            raise ValueError(f"metric must be one of {_VALID_METRICS}, got {self.metric!r}")
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+        if self.dim % self.n_sub != 0:
+            raise ValueError(
+                f"dim ({self.dim}) must be divisible by n_sub ({self.n_sub})")
+        if not 2 <= self.n_codes <= 256:
+            raise ValueError("n_codes must be in [2, 256] (codes are uint8)")
+        if self.refine not in ("none", "int8", "float32", "bfloat16"):
+            raise ValueError(f"invalid refine {self.refine!r}")
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.n_sub
+
+    @property
+    def refine_dtype(self):
+        return {"int8": jnp.int8, "float32": jnp.float32,
+                "bfloat16": jnp.bfloat16, "none": jnp.float32}[self.refine]
+
+    @property
+    def bytes_per_vector(self) -> int:
+        """Device bytes per vector (codes + norm + refine store)."""
+        refine = {"none": 0, "int8": self.dim + 4,
+                  "float32": 4 * self.dim, "bfloat16": 2 * self.dim}[self.refine]
+        return self.n_sub + 4 + refine
+
+
+@dataclasses.dataclass(frozen=True)
 class SearchConfig:
     """Search-time knobs (the reference has none: no ef_search, k-pop termination —
     reference src/hnsw.zig:211)."""
