@@ -46,18 +46,20 @@ __all__ = [
 def __getattr__(name):
     # sharded engines import lazily (they touch jax.sharding / mesh state)
     if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "ShardedCagra",
-                "make_mesh"):
+                "ShardedPQFlat", "make_mesh"):
         from .parallel.mesh import make_mesh
         from .parallel.sharded import ShardedHNSW
         from .parallel.sharded_cagra import ShardedCagra
         from .parallel.sharded_flat import ShardedFlat
         from .parallel.sharded_ivf import ShardedIVF
+        from .parallel.sharded_pq import ShardedPQFlat
 
         return {
             "ShardedHNSW": ShardedHNSW,
             "ShardedFlat": ShardedFlat,
             "ShardedIVF": ShardedIVF,
             "ShardedCagra": ShardedCagra,
+            "ShardedPQFlat": ShardedPQFlat,
             "make_mesh": make_mesh,
         }[name]
     raise AttributeError(name)
