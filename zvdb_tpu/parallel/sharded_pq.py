@@ -290,8 +290,6 @@ class ShardedPQFlat:
         n = rr.size
         s = self.n_shards
         per = -(-max(n, 1) // s)
-        dt = {"codes": np.uint8, "norms": np.float32,
-              "r_scales": np.float32, "ids": np.int32}
         out = {
             "codes": np.zeros((s, per, self.cfg.n_sub), np.uint8),
             "norms": np.full((s, per), np.inf, np.float32),
@@ -317,7 +315,6 @@ class ShardedPQFlat:
         self._n = n
         self._fns = {}
         self._dead = set()
-        del dt
         return live
 
     # ------------------------------------------------------------ persistence
@@ -386,9 +383,10 @@ class ShardedPQFlat:
         if self._dead and any(int(i) in self._dead for i in ids):
             raise IndexError("id was deleted")
         grid = np.asarray(self.state["ids"])
-        pos = {int(g): (r, c) for (r, c), g in np.ndenumerate(grid) if g >= 0}
-        rr = np.asarray([pos[int(i)][0] for i in ids])
-        cc = np.asarray([pos[int(i)][1] for i in ids])
+        flat = grid.reshape(-1)
+        order = np.argsort(flat, kind="stable")
+        locs = order[np.searchsorted(flat, ids, sorter=order)]
+        rr, cc = np.unravel_index(locs, grid.shape)
         if self.cfg.refine != "none":
             vecs = np.asarray(self.state["refine"])[rr, cc].astype(np.float32)
             if self.cfg.refine == "int8":
