@@ -15,6 +15,8 @@ Engines measured (all part of zvdb-tpu):
            build is the all-MXU oneshot cluster-kNN construction).
   cagra  — single-layer fixed-degree graph, centroid-seeded beam, packed
            one-gather scoring rows (the fast graph engine).
+  pq     — product-quantized scan + int8 refine rerank (measured at the 1M
+           config only: the memory-scaling engine, 20 B/vec codes).
 
 Graph-engine builds are timed WARM (same-shape rebuild after a first build
 that pays the one-off XLA compilations — the reference's Zig build has no
@@ -448,6 +450,66 @@ def main():
         del cg1, x1
     except Exception as e:
         log(f"1M config failed: {e!r}")
+
+    # ---- PQ at 1M: the memory-scaling engine (codes 16 B/vec + int8 refine
+    # store vs 512 B f32 — the BASELINE config-5 memory lever) ---------------
+    try:
+        from zvdb_tpu import PQConfig, PQFlatIndex
+        from zvdb_tpu.io.datasets import synthetic_clustered
+
+        n1 = 1_000_000
+        x1 = synthetic_clustered(n1, d, n_clusters=10_000, seed=0)
+        gt1_cache = f"/tmp/zvdb_gt1m_{d}_{nq}_{k}.npz"
+        # q1 must replicate the 1M block's rng draw sequence exactly (the gt
+        # cache is shared with it): rng(9) has consumed 2x nq draws for the
+        # 100k queries + 1x for the 1M queries by this point IF the 1M block
+        # ran — regenerate q1 from the same stream state only when the block
+        # above already produced it, else draw fresh and rebuild gt.
+        if "q1" in dir() and os.path.exists(gt1_cache):
+            gt1 = np.load(gt1_cache)["gt"]
+        else:
+            q1 = (x1[rng.integers(0, n1, nq)]
+                  + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
+            oracle = FlatIndex(
+                FlatConfig(dim=d, precision="highest", tile_n=262144),
+                capacity=n1)
+            oracle.add(x1)
+            gt1 = np.concatenate([
+                np.asarray(oracle.search(q1[lo:lo + 2048], k)[1])
+                for lo in range(0, nq, 2048)
+            ])
+            del oracle
+        pq_cfg = PQConfig(dim=d, n_sub=16, refine="int8", rerank=4,
+                          metric=metric)
+        xd1 = jax.device_put(x1)
+        jax.block_until_ready(xd1)
+        warm = PQFlatIndex(pq_cfg)
+        warm.build(xd1)                    # pays the one-off compiles
+        jax.block_until_ready(warm.state)
+        del warm
+        pq_build_dev_s = float("inf")
+        for _ in range(2):
+            pqi = PQFlatIndex(pq_cfg)
+            t0 = time.perf_counter()
+            pqi.build(xd1)
+            jax.block_until_ready(pqi.state)
+            pq_build_dev_s = min(pq_build_dev_s, time.perf_counter() - t0)
+        del xd1
+        idsq = np.concatenate([
+            np.asarray(pqi.search(q1[lo:lo + 2048], k)[1])
+            for lo in range(0, nq, 2048)
+        ])
+        rq_ = recall_at_k(idsq, gt1, k)
+        qpsq = timed_qps(lambda qq: pqi.search(qq, k), q1, 2048)
+        log(f"pq 1M: recall={rq_:.4f} qps={qpsq:,.0f} "
+            f"build={n1/pq_build_dev_s:,.0f} pts/s device-resident "
+            f"(codes+refine {(16 + 4 + d + 4) * n1 / 2**30:.2f} GB vs "
+            f"{4 * d * n1 / 2**30:.1f} GB f32)")
+        results["pq_1m"] = dict(recall=rq_, qps=qpsq,
+                                build_pps=n1 / pq_build_dev_s)
+        del pqi, x1
+    except Exception as e:
+        log(f"pq 1M failed: {e!r}")
 
     # headline = best engine clearing the recall target (100k-point protocol
     # engines only; the 1M result is reported alongside)
