@@ -164,6 +164,27 @@ def main():
             for qb in staged])
         emit(exp="pq1m_raw_codes", n_sub=16,
              recall=round(recall_at_k(ids, gt1, k), 4))
+
+        # OPQ (learned rotation, ops/pq.py:train_opq): raw-codes recall at
+        # identical memory vs the plain-PQ ceiling above, plus the refined
+        # path for parity + rotation-cost-in-QPS.
+        for refine, rr in (("none", 1), ("int8", 4)):
+            cfgo = PQConfig(dim=d, n_sub=16, refine=refine, rerank=rr,
+                            opq=True)
+            t0 = time.perf_counter()
+            oidx = PQFlatIndex(cfgo)
+            oidx.build(x1d)
+            jax.block_until_ready(oidx.state)
+            bt = time.perf_counter() - t0
+            ids = np.concatenate([np.asarray(oidx.search(qb, k)[1])
+                                  for qb in staged])
+            rec = recall_at_k(ids, gt1, k)
+            qps = timed_qps(lambda qb: oidx.search(qb, k), staged)
+            emit(exp="pq1m_opq", refine=refine, rerank=rr, s=round(bt, 2),
+                 pps=round(n1 / bt, 1), recall=round(rec, 4),
+                 qps=round(qps, 1))
+            del oidx
+            gc.collect()
         del built, x1d
         gc.collect()
     except Exception as e:

@@ -193,3 +193,96 @@ def test_bytes_per_vector_accounting():
     assert cfg.bytes_per_vector == 16 + 4
     cfg = PQConfig(dim=128, n_sub=16, refine="bfloat16")
     assert cfg.bytes_per_vector == 16 + 4 + 256
+
+
+# ---------------------------------------------------------------- OPQ
+
+
+@pytest.fixture(scope="module")
+def aniso_data():
+    """Anisotropic spectrum mixed across subspace boundaries by a random
+    rotation — the workload OPQ exists for (plain PQ's coordinate-aligned
+    subspaces each see a mixture of strong and weak directions)."""
+    rng = np.random.default_rng(0)
+    n, d = 5000, 32
+    lam = np.exp(-np.arange(d) / 6.0)
+    z = rng.standard_normal((n, d)).astype(np.float32) * lam
+    mix = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+    x = (z @ mix).astype(np.float32)
+    q = (x[rng.integers(0, n, 200)]
+         + 0.01 * rng.standard_normal((200, d))).astype(np.float32)
+    return x, q
+
+
+def _build_pair(x, **kw):
+    out = {}
+    for opq in (False, True):
+        idx = PQFlatIndex(PQConfig(dim=x.shape[1], n_sub=8,
+                                   train_sample=4096, opq=opq, **kw))
+        idx.build(x)
+        out[opq] = idx
+    return out
+
+
+def test_opq_cuts_quantization_error(aniso_data):
+    """The rotation's job: reconstruction MSE well below plain PQ at the
+    same code budget (measured 0.0030 vs 0.0065 on this data), and
+    pure-codes recall at least matching."""
+    x, q = aniso_data
+    _, gt = exact_ground_truth(x, q, 10)
+    pair = _build_pair(x, refine="none")
+    mse = {opq: float(np.mean((idx.get(np.arange(500)) - x[:500]) ** 2))
+           for opq, idx in pair.items()}
+    assert mse[True] < 0.7 * mse[False]
+    r = {opq: _recall(idx.search(q, 10)[1], gt) for opq, idx in pair.items()}
+    assert r[True] >= r[False] - 0.02
+    assert r[True] > 0.75
+
+
+def test_opq_rotation_is_orthogonal(aniso_data):
+    x, _ = aniso_data
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096, opq=True,
+                               refine="none"))
+    idx.build(x)
+    rot = np.asarray(idx.state.rot)
+    assert rot.shape == (32, 32)
+    assert np.abs(rot @ rot.T - np.eye(32)).max() < 1e-5
+
+
+def test_opq_refine_rerank_still_exact_space(aniso_data):
+    """With a refine store, rerank runs against ORIGINAL rows: recall >=0.95
+    and get() returns the stored vector (near-exact int8), not a rotated
+    reconstruction."""
+    x, q = aniso_data
+    _, gt = exact_ground_truth(x, q, 10)
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096, opq=True))
+    idx.build(x)
+    assert _recall(idx.search(q, 10)[1], gt) > 0.95
+    g = idx.get([0, 1, 2])
+    assert np.abs(g - x[:3]).max() / np.abs(x[:3]).max() < 0.02
+
+
+def test_opq_save_load_and_incremental(tmp_path, aniso_data):
+    x, q = aniso_data
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096, opq=True))
+    idx.build(x[:4000])
+    idx.add(x[4000:])          # encodes against the frozen rotation+codebooks
+    p = str(tmp_path / "opq.npz")
+    idx.save(p)
+    idx2 = PQFlatIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(idx.search(q, 10)[1]),
+                                  np.asarray(idx2.search(q, 10)[1]))
+    _, i = idx2.search(x[4500][None, :], 1)
+    assert int(np.asarray(i)[0, 0]) == 4500
+
+
+@pytest.mark.parametrize("metric", ["dot", "cosine"])
+def test_opq_metrics(data, metric):
+    """Rotation preserves dot/cosine scores (orthogonal): recall holds on
+    the non-l2 metrics too."""
+    x, q = data
+    _, gt = exact_ground_truth(x, q, 10, metric=metric)
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, metric=metric, opq=True,
+                               train_sample=4096, rerank=16))
+    idx.build(x)
+    assert _recall(idx.search(q, 10)[1], gt) > 0.9

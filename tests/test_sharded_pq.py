@@ -244,3 +244,41 @@ def test_cosine_metric():
     r_sh = recall_at_k(np.asarray(sh.search(q, 10)[1]), gt, 10)
     r_si = recall_at_k(np.asarray(single.search(q, 10)[1]), gt, 10)
     assert r_sh >= r_si - 0.03, f"sharded {r_sh:.3f} vs single {r_si:.3f}"
+
+
+def test_opq_sharded_matches_single_chip():
+    """OPQ on the mesh: codes in rotated space, refine in original space,
+    recall at parity with the single-chip OPQ engine (test_pq.py OPQ
+    contracts); get() returns original-space vectors."""
+    rng = np.random.default_rng(3)
+    n, d = 6000, 32
+    lam = np.exp(-np.arange(d) / 6.0)
+    z = rng.standard_normal((n, d)).astype(np.float32) * lam
+    mix = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+    x = (z @ mix).astype(np.float32)
+    q = (x[rng.integers(0, n, 100)]
+         + 0.01 * rng.standard_normal((100, d))).astype(np.float32)
+    _, gt = exact_ground_truth(x, q, 10)
+    cfg = PQConfig(dim=d, n_sub=8, refine="none", train_sample=2048,
+                   tile_n=1024, opq=True)
+    sh = ShardedPQFlat(cfg, mesh=make_mesh(n_shards=4))
+    sh.build(x)
+    from zvdb_tpu import PQFlatIndex
+
+    single = PQFlatIndex(cfg)
+    single.build(x)
+    r_sh = recall_at_k(np.asarray(sh.search(q, 10)[1]), np.asarray(gt), 10)
+    r_si = recall_at_k(np.asarray(single.search(q, 10)[1]), np.asarray(gt), 10)
+    assert r_sh >= r_si - 0.03, f"sharded {r_sh:.3f} vs single {r_si:.3f}"
+    # pure-codes get(): decoded in rotated space, returned in user space
+    g = sh.get(np.arange(200))
+    base = np.mean(x[:200] ** 2)
+    assert float(np.mean((g - x[:200]) ** 2)) < 0.2 * base
+    # save/load keeps the rotation
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "opq_sh.npz")
+        sh.save(p)
+        sh2 = ShardedPQFlat.load(p, mesh=make_mesh(n_shards=4))
+        np.testing.assert_array_equal(np.asarray(sh.search(q, 10)[1]),
+                                      np.asarray(sh2.search(q, 10)[1]))

@@ -45,20 +45,26 @@ class PQState(NamedTuple):
                           # dot/cosine; +inf = uningested/tombstoned (the
                           # validity bias — same convention as FlatState)
     codebooks: jax.Array  # [S, C, dsub] f32 (frozen after training)
+    rot: jax.Array        # [D, D] f32 OPQ rotation (codes live in x@rot
+                          # space) or the [0, 0] identity sentinel (plain PQ)
     refine: jax.Array     # [cap, D] refine rows (int8/f32/bf16) or [cap, 0]
     r_scales: jax.Array   # [cap] f32 per-vector dequant scales (int8 refine)
     n: jax.Array          # scalar int32 slots used (including tombstones)
 
 
 def init_state(capacity: int, cfg: PQConfig,
-               codebooks: Optional[jax.Array] = None) -> PQState:
+               codebooks: Optional[jax.Array] = None,
+               rot: Optional[jax.Array] = None) -> PQState:
     refine_d = cfg.dim if cfg.refine != "none" else 0
     if codebooks is None:
         codebooks = jnp.zeros((cfg.n_sub, cfg.n_codes, cfg.dsub), jnp.float32)
+    if rot is None:
+        rot = jnp.zeros((0, 0), jnp.float32)
     return PQState(
         codes=jnp.zeros((capacity, cfg.n_sub), jnp.uint8),
         norms=jnp.full((capacity,), jnp.inf, jnp.float32),
         codebooks=codebooks,
+        rot=rot,
         refine=jnp.zeros((capacity, refine_d), cfg.refine_dtype),
         r_scales=jnp.ones((capacity,), jnp.float32),
         n=jnp.zeros((), jnp.int32),
@@ -68,7 +74,11 @@ def init_state(capacity: int, cfg: PQConfig,
 @functools.partial(jax.jit, static_argnames=("metric", "refine"))
 def _ingest(state: PQState, x: jax.Array, metric: str, refine: str) -> PQState:
     xf = D.preprocess_queries(x, metric)   # f32 (+ normalize for cosine)
-    codes = PQ.encode(xf, state.codebooks)
+    # codes quantize the ROTATED rows under OPQ (rotation preserves l2/dot
+    # scores, so the scan stays consistent with rotated queries); the refine
+    # store below keeps the ORIGINAL rows so the rerank is exact in the
+    # user's space and get() returns stored vectors verbatim.
+    codes = PQ.encode(PQ.apply_rotation(xf, state.rot), state.codebooks)
     if metric == "l2":
         norms = PQ.decoded_sq_norms(codes, state.codebooks)
     else:
@@ -86,6 +96,7 @@ def _ingest(state: PQState, x: jax.Array, metric: str, refine: str) -> PQState:
         codes=jax.lax.dynamic_update_slice(state.codes, codes, (state.n, 0)),
         norms=jax.lax.dynamic_update_slice(state.norms, norms, (state.n,)),
         codebooks=state.codebooks,
+        rot=state.rot,
         refine=jax.lax.dynamic_update_slice(state.refine, rrows, (state.n, 0)),
         r_scales=jax.lax.dynamic_update_slice(state.r_scales, rscales,
                                               (state.n,)),
@@ -167,12 +178,16 @@ def _pq_search(
     """Full search: PQ scan (+ exact refine rerank when a refine store
     exists). Returns user-facing (scores, ids)."""
     qs = D.preprocess_queries(q, metric)
+    # scan pass runs in the (possibly OPQ-rotated) code space; the refine
+    # rerank below scores the ORIGINAL qs against the original-space refine
+    # store. ||qr|| == ||qs||, so finalize_scores works on either.
+    qr = PQ.apply_rotation(qs, state.rot)
     if refine == "none":
-        best_s, best_i = _pq_scan(state, qs, k, metric, tile_n, approx,
+        best_s, best_i = _pq_scan(state, qr, k, metric, tile_n, approx,
                                   recall_target, precision)
     else:
         kk = max(k * rerank, k)
-        _, i1 = _pq_scan(state, qs, kk, metric, tile_n, approx,
+        _, i1 = _pq_scan(state, qr, kk, metric, tile_n, approx,
                          recall_target, precision)
         safe = jnp.maximum(i1, 0)
         rv = jnp.take(state.refine, safe, axis=0).astype(jnp.float32)
@@ -228,9 +243,10 @@ class PQFlatIndex:
 
     # -- construction ------------------------------------------------------
 
-    def _train(self, xf: jax.Array) -> jax.Array:
-        """Codebooks from a (sampled) training batch. xf is on-device f32,
-        already metric-preprocessed."""
+    def _train(self, xf: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(codebooks, rot) from a (sampled) training batch. xf is on-device
+        f32, already metric-preprocessed. rot is the [0, 0] sentinel unless
+        cfg.opq."""
         cfg = self.cfg
         n = xf.shape[0]
         key = jax.random.PRNGKey(cfg.seed)
@@ -240,8 +256,13 @@ class PQFlatIndex:
             xs = jnp.take(xf, sel, axis=0)
         else:
             xs = xf
-        return PQ.train_codebooks(xs, key, cfg.n_sub, cfg.n_codes,
-                                  cfg.kmeans_iters)
+        if cfg.opq:
+            rot, cb = PQ.train_opq(xs, key, cfg.n_sub, cfg.n_codes,
+                                   cfg.kmeans_iters, cfg.opq_iters)
+            return cb, rot
+        return (PQ.train_codebooks(xs, key, cfg.n_sub, cfg.n_codes,
+                                   cfg.kmeans_iters),
+                jnp.zeros((0, 0), jnp.float32))
 
     def _ensure_capacity(self, extra: int):
         need = self._n_total + extra
@@ -251,11 +272,13 @@ class PQFlatIndex:
         elif need > self.capacity:
             new_cap = max(need, 2 * self.capacity)
             old = self.state
-            grown = init_state(new_cap, self.cfg, codebooks=old.codebooks)
+            grown = init_state(new_cap, self.cfg, codebooks=old.codebooks,
+                               rot=old.rot)
             self.state = PQState(
                 codes=grown.codes.at[: self.capacity].set(old.codes),
                 norms=grown.norms.at[: self.capacity].set(old.norms),
                 codebooks=old.codebooks,
+                rot=old.rot,
                 refine=grown.refine.at[: self.capacity].set(old.refine),
                 r_scales=grown.r_scales.at[: self.capacity].set(old.r_scales),
                 n=old.n,
@@ -278,7 +301,8 @@ class PQFlatIndex:
             self._ensure_capacity(x.shape[0])
             if not self._trained:
                 xf = D.preprocess_queries(x, self.cfg.metric)
-                self.state = self.state._replace(codebooks=self._train(xf))
+                cb, rot = self._train(xf)
+                self.state = self.state._replace(codebooks=cb, rot=rot)
                 self._trained = True
             self.state = _ingest(self.state, x, self.cfg.metric,
                                  self.cfg.refine)
@@ -330,14 +354,14 @@ class PQFlatIndex:
             live_np = np.flatnonzero(live)
             if self.state is not None and live_np.size < n:
                 if live_np.size == 0:
-                    cb = self.state.codebooks
+                    cb, rot = self.state.codebooks, self.state.rot
                     self.state = None
                     self.capacity = 0
                     if self._trained:
                         # keep trained codebooks for future adds
                         self.capacity = 1024
                         self.state = init_state(self.capacity, self.cfg,
-                                                codebooks=cb)
+                                                codebooks=cb, rot=rot)
                 else:
                     rows = jnp.asarray(live_np)
                     st = self.state
@@ -345,6 +369,7 @@ class PQFlatIndex:
                         codes=jnp.take(st.codes, rows, axis=0),
                         norms=jnp.take(st.norms, rows, axis=0),
                         codebooks=st.codebooks,
+                        rot=st.rot,
                         refine=jnp.take(st.refine, rows, axis=0),
                         r_scales=jnp.take(st.r_scales, rows, axis=0),
                         n=jnp.asarray(live_np.size, jnp.int32),
@@ -369,6 +394,7 @@ class PQFlatIndex:
             codes=np.asarray(self.state.codes),
             norms=np.asarray(self.state.norms),
             codebooks=np.asarray(self.state.codebooks),
+            rot=np.asarray(self.state.rot),
             refine=np.asarray(self.state.refine),
             r_scales=np.asarray(self.state.r_scales),
             n=np.asarray(self.state.n),
@@ -385,6 +411,9 @@ class PQFlatIndex:
             codes=jnp.asarray(z["codes"]),
             norms=jnp.asarray(z["norms"]),
             codebooks=jnp.asarray(z["codebooks"]),
+            # snapshots from before the OPQ field default to the sentinel
+            rot=jnp.asarray(z["rot"]) if "rot" in z
+            else jnp.zeros((0, 0), jnp.float32),
             refine=jnp.asarray(z["refine"]),
             r_scales=jnp.asarray(z["r_scales"]),
             n=jnp.asarray(z["n"]),
@@ -416,7 +445,10 @@ class PQFlatIndex:
                 vecs = vecs * jnp.take(self.state.r_scales, rows)[:, None]
             return np.asarray(vecs)
         codes = jnp.take(self.state.codes, rows, axis=0)
-        return np.asarray(PQ.decode(codes, self.state.codebooks))
+        dec = PQ.decode(codes, self.state.codebooks)
+        # OPQ codes reconstruct x@rot; rotate back to the user's space
+        # (rot is orthogonal, so rot.T is its inverse)
+        return np.asarray(PQ.apply_rotation(dec, self.state.rot.T))
 
     def search(self, q, k: int, approx: bool = True, allowed=None):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).

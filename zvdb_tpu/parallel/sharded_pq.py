@@ -52,6 +52,10 @@ class ShardedPQFlat:
         self.n_shards = self.mesh.shape[SHARD_AXIS]
         self.state = None          # dict of [S, per, ...] arrays, shard-sharded
         self.codebooks = None      # [n_sub, C, dsub] f32, replicated
+        # OPQ rotation, replicated ([0, 0] sentinel when cfg.opq is off);
+        # codes live in x@rot space, the refine store stays original-space
+        # (same split as PQFlatIndex)
+        self.rot = jnp.zeros((0, 0), jnp.float32)
         self._trained = False
         self._n = 0
         self._fns = {}
@@ -81,9 +85,14 @@ class ShardedPQFlat:
         else:
             xs = x
         xf = D.preprocess_queries(jnp.asarray(xs, jnp.float32), cfg.metric)
-        self.codebooks = PQ.train_codebooks(
-            xf, jax.random.PRNGKey(cfg.seed), cfg.n_sub, cfg.n_codes,
-            cfg.kmeans_iters)
+        key = jax.random.PRNGKey(cfg.seed)
+        if cfg.opq:
+            self.rot, self.codebooks = PQ.train_opq(
+                xf, key, cfg.n_sub, cfg.n_codes, cfg.kmeans_iters,
+                cfg.opq_iters)
+        else:
+            self.codebooks = PQ.train_codebooks(
+                xf, key, cfg.n_sub, cfg.n_codes, cfg.kmeans_iters)
         self._trained = True
 
     def _encode_block(self, xs: np.ndarray, ids: np.ndarray):
@@ -92,7 +101,7 @@ class ShardedPQFlat:
         cfg = self.cfg
         s, per, d = xs.shape
         xf = D.preprocess_queries(jnp.asarray(xs.reshape(-1, d)), cfg.metric)
-        codes = PQ.encode(xf, self.codebooks)
+        codes = PQ.encode(PQ.apply_rotation(xf, self.rot), self.codebooks)
         if cfg.metric == "l2":
             norms = PQ.decoded_sq_norms(codes, self.codebooks)
         else:
@@ -326,7 +335,7 @@ class ShardedPQFlat:
         self._flush()
         meta = dict(cfg=dataclasses.asdict(self.cfg), n=self._n,
                     n_shards=self.n_shards, trained=self._trained)
-        arrays = {}
+        arrays = {"rot": np.asarray(self.rot)}
         if self.codebooks is not None:
             arrays["codebooks"] = np.asarray(self.codebooks)
         if self.state is not None:
@@ -353,6 +362,8 @@ class ShardedPQFlat:
             idx._trained = bool(meta["trained"])
             if "codebooks" in z:
                 idx.codebooks = jnp.asarray(z["codebooks"])
+            if "rot" in z:   # absent in pre-OPQ snapshots -> sentinel stays
+                idx.rot = jnp.asarray(z["rot"])
             if "codes" in z:
                 sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
                 ids = np.asarray(z["ids"])
@@ -393,7 +404,9 @@ class ShardedPQFlat:
                 vecs = vecs * np.asarray(self.state["r_scales"])[rr, cc][:, None]
             return vecs
         codes = jnp.asarray(np.asarray(self.state["codes"])[rr, cc])
-        return np.asarray(PQ.decode(codes, self.codebooks))
+        dec = PQ.decode(codes, self.codebooks)
+        # OPQ codes reconstruct x@rot; rotate back (rot orthogonal)
+        return np.asarray(PQ.apply_rotation(dec, self.rot.T))
 
     # ------------------------------------------------------------ search
 
@@ -402,16 +415,20 @@ class ShardedPQFlat:
         mesh = self.mesh
 
         @jax.jit
-        def run(codes, norms, refine, r_scales, ids, codebooks, q):
+        def run(codes, norms, refine, r_scales, ids, codebooks, rot, q):
             qs = D.preprocess_queries(q, cfg.metric)
+            # scan in (possibly OPQ-rotated) code space; refine rerank keeps
+            # the original qs against the original-space refine store
+            qr = PQ.apply_rotation(qs, rot)
 
-            def local(c, nn, rv, rs, ii, cb, qs):
+            def local(c, nn, rv, rs, ii, cb, qr, qs):
                 c, nn, rv, rs, ii = c[0], nn[0], rv[0], rs[0], ii[0]
                 cap = c.shape[0]
-                st = PQState(codes=c, norms=nn, codebooks=cb, refine=rv,
+                st = PQState(codes=c, norms=nn, codebooks=cb,
+                             rot=jnp.zeros((0, 0), jnp.float32), refine=rv,
                              r_scales=rs, n=jnp.asarray(cap, jnp.int32))
                 pool = max(k * cfg.rerank, k) if cfg.refine != "none" else k
-                ps, pi = _pq_scan(st, qs, pool, cfg.metric, cfg.tile_n,
+                ps, pi = _pq_scan(st, qr, pool, cfg.metric, cfg.tile_n,
                                   approx, cfg.recall_target, cfg.precision)
                 if cfg.refine != "none":
                     safe = jnp.maximum(pi, 0)
@@ -434,9 +451,9 @@ class ShardedPQFlat:
             ts, ti = shard_map(
                 local, mesh=mesh,
                 in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                          P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+                          P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P()),
                 out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
-            )(codes, norms, refine, r_scales, ids, codebooks, qs)
+            )(codes, norms, refine, r_scales, ids, codebooks, qr, qs)
             b = ts.shape[0]
             ms, mi = T.smallest_k(ts.reshape(b, -1), ti.reshape(b, -1), k)
             user = D.finalize_scores(ms, qs, cfg.metric)
@@ -474,4 +491,5 @@ class ShardedPQFlat:
             ok = jnp.take(av, jnp.maximum(st["ids"], 0)) & (st["ids"] >= 0)
             norms = jnp.where(ok, norms, jnp.inf)
         return self._fns[key](st["codes"], norms, st["refine"],
-                              st["r_scales"], st["ids"], self.codebooks, q)
+                              st["r_scales"], st["ids"], self.codebooks,
+                              self.rot, q)

@@ -150,6 +150,16 @@ class PQConfig:
     # against them (re-training would re-encode the whole corpus).
     train_sample: int = 32768
     kmeans_iters: int = 8
+    # OPQ: learn an orthogonal rotation before the subspace split
+    # (alternating Lloyd + Procrustes, ops/pq.py:train_opq). Costs one
+    # [B, D]x[D, D] matmul per query batch and per ingest batch — noise next
+    # to the scan — and lifts pure-codes recall when coordinates are
+    # correlated across subspace boundaries; the refine rerank still runs in
+    # the ORIGINAL space, so refine!="none" results stay exact-rescored.
+    opq: bool = False
+    # Procrustes alternations. Each runs 4 Lloyd iterations + one [D, D]
+    # SVD; the final codebooks get the full kmeans_iters polish.
+    opq_iters: int = 8
     seed: int = 0
 
     def __post_init__(self):
