@@ -37,10 +37,14 @@ def main(argv=None):
     ap.add_argument("--metric", type=str, default="l2")
     ap.add_argument("--recall", action="store_true", help="also measure recall")
     ap.add_argument("--engine", type=str, default="hnsw",
-                    choices=["hnsw", "flat", "ivf", "cagra"])
+                    choices=["hnsw", "flat", "ivf", "cagra", "pq"])
     ap.add_argument("--pca", type=int, default=0,
                     help="flat engine: PCA-filter the approx scan to this "
                          "many dims + exact rerank (high-dim lever)")
+    ap.add_argument("--pq-nsub", type=int, default=16,
+                    help="pq engine: subspace count (bytes/vector of codes)")
+    ap.add_argument("--opq", action="store_true",
+                    help="pq engine: train the OPQ rotation (ops/pq.py)")
     ap.add_argument("--query-mode", type=str, default="dataset",
                     choices=["dataset", "perturb", "mixture", "gaussian"],
                     help="dataset = queries as loaded; perturb = corpus + "
@@ -69,7 +73,7 @@ def main(argv=None):
 
     from zvdb_tpu import (
         CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,
-        IVFConfig, IVFIndex,
+        IVFConfig, IVFIndex, PQConfig, PQFlatIndex,
     )
     from zvdb_tpu.bench.harness import (
         ground_truth_host, random_points, run_insertion_benchmark,
@@ -125,6 +129,11 @@ def main(argv=None):
             factory = lambda: IVFIndex(IVFConfig(dim=d, metric=metric))
         elif args.engine == "cagra":
             factory = lambda: CagraIndex(CagraConfig(dim=d, metric=metric))
+        elif args.engine == "pq":
+            n_sub = args.pq_nsub if d % args.pq_nsub == 0 else (
+                16 if d % 16 == 0 else 8)
+            factory = lambda: PQFlatIndex(
+                PQConfig(dim=d, metric=metric, n_sub=n_sub, opq=args.opq))
         elif args.devices > 1:
             mesh = make_mesh(n_shards=args.devices)
             factory = lambda: ShardedHNSW(
@@ -144,7 +153,7 @@ def main(argv=None):
         if sink:
             sink.write(ins.to_json() + "\n")
 
-        if args.engine == "flat":
+        if args.engine in ("flat", "pq"):
             search_fn = lambda qq, kk: idx.search(qq, kk, approx=True)
         elif args.engine == "ivf":
             search_fn = lambda qq, kk: idx.search(qq, kk)
