@@ -38,6 +38,7 @@ __all__ = [
     "SearchConfig",
     "FlatConfig",
     "SearchServer",
+    "make_hybrid_mesh",
     "relative_contrast",
     "suggest_engine",
 ]
@@ -46,8 +47,8 @@ __all__ = [
 def __getattr__(name):
     # sharded engines import lazily (they touch jax.sharding / mesh state)
     if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "ShardedCagra",
-                "ShardedPQFlat", "make_mesh"):
-        from .parallel.mesh import make_mesh
+                "ShardedPQFlat", "make_mesh", "make_hybrid_mesh"):
+        from .parallel.mesh import make_hybrid_mesh, make_mesh
         from .parallel.sharded import ShardedHNSW
         from .parallel.sharded_cagra import ShardedCagra
         from .parallel.sharded_flat import ShardedFlat
@@ -61,6 +62,7 @@ def __getattr__(name):
             "ShardedCagra": ShardedCagra,
             "ShardedPQFlat": ShardedPQFlat,
             "make_mesh": make_mesh,
+            "make_hybrid_mesh": make_hybrid_mesh,
         }[name]
     raise AttributeError(name)
 
