@@ -286,3 +286,129 @@ def test_opq_metrics(data, metric):
                                train_sample=4096, rerank=16))
     idx.build(x)
     assert _recall(idx.search(q, 10)[1], gt) > 0.9
+
+
+# ------------------------------------------------------- 4-bit / Pallas ADC
+
+
+def _pq4(dim=32, **kw):
+    kw.setdefault("train_sample", 4096)
+    return PQConfig(dim=dim, n_sub=8, n_codes=16, **kw)
+
+
+def test_nibble_pack_roundtrip():
+    from zvdb_tpu.ops import pq as PQ
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, (37, 8)).astype(np.uint8)
+    packed = np.asarray(PQ.pack_nibbles(codes))
+    assert packed.shape == (37, 4)
+    np.testing.assert_array_equal(
+        np.asarray(PQ.unpack_nibbles(packed, 8)), codes)
+
+
+def test_pq4_packed_surface(data, tmp_path):
+    """4-bit config (packed transposed storage) passes the full surface:
+    build/search/get/add/remove/compact/save/load, ids stable."""
+    x, q = data
+    _, gt = exact_ground_truth(x, q, 10)
+    idx = PQFlatIndex(_pq4(rerank=16))
+    idx.build(x)
+    assert idx.state.codes.shape == (4, idx.capacity)   # [S//2, cap]
+    assert _recall(idx.search(q, 10)[1], gt) > 0.9      # refine repairs 4-bit
+    g = idx.get([0, 1, 2])
+    assert np.abs(g - x[:3]).max() / np.abs(x[:3]).max() < 0.02
+    idx.add(x[:10])  # growth keeps packed layout
+    assert len(idx) == len(x) + 10
+    _, i = idx.search(x[7][None], 2)
+    assert 7 in np.asarray(i)[0].tolist()
+    assert idx.remove([7]) == 1
+    assert 7 not in np.asarray(idx.search(x[7], 5)[1]).tolist()
+    p = str(tmp_path / "pq4.npz")
+    idx.save(p)
+    idx2 = PQFlatIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(idx.search(q[:20], 10)[1]),
+                                  np.asarray(idx2.search(q[:20], 10)[1]))
+    old = idx.compact()
+    assert 7 not in old.tolist()
+    _, i = idx.search(q[:20], 5)
+    assert (np.asarray(i) < len(old)).all()
+
+
+def test_pallas_pq_kernel_matches_xla_scan(data):
+    """Fused ADC kernel (interpret mode) vs the exact XLA decode-scan: the
+    kernel's surrogate scores must match the decoded-corpus scores bitwise-
+    close for the ids it returns, and selection recall must beat the bin
+    collision bound."""
+    import jax.numpy as jnp
+    from zvdb_tpu.index.pqflat import _pq_scan
+    from zvdb_tpu.ops import pq as PQ
+    from zvdb_tpu.ops.pallas_pq import pq_scan_topk
+
+    x, q = data
+    idx = PQFlatIndex(_pq4(refine="none"))
+    idx.build(x)
+    st = idx.state
+    qs = q.astype(np.float32)
+    lut = PQ.adc_lut(jnp.asarray(qs), st.codebooks)
+    ks, ki = pq_scan_topk(lut, st.codes, st.norms, 10, l_bins=256,
+                          chunk=512, precision="high", interpret=True)
+    xs, xi = _pq_scan(st, jnp.asarray(qs), 10, "l2", 100000, False,
+                      0.95, "highest", packed=True)
+    ks, ki, xs, xi = map(np.asarray, (ks, ki, xs, xi))
+    # score-threshold selection recall: fraction of kernel results scoring
+    # at least as well as the exact scan's k-th score. (Id sets are
+    # tie-ambiguous — 4-bit codes make many corpus rows bit-identical — and
+    # a small loss is expected from bin collisions: bound 0.965 at L=256.)
+    tol = 1e-3 * np.abs(xs[:, -1:])
+    rec = float(np.mean(ks <= xs[:, -1:] + tol))
+    assert rec > 0.94
+    # kernel surrogate scores are the true decoded scores (high precision)
+    dec = np.asarray(PQ.decode(
+        PQ.unpack_nibbles(np.asarray(st.codes).T, 8)[: len(x)],
+        st.codebooks))
+    for b in range(0, len(qs), 37):
+        ids = ki[b][ki[b] >= 0]
+        want = (np.asarray(st.norms)[ids]
+                - 2.0 * dec[ids] @ qs[b])
+        np.testing.assert_allclose(ks[b][ki[b] >= 0], want, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_pq4_pallas_engine_end_to_end(data):
+    """PQFlatIndex(scan='pallas') on CPU interpret: recall with refine rerank
+    ~0.9 (this tiny 16-code corpus has many bit-identical rows, and equal-
+    scored duplicates shadow each other inside a bin — at production scale
+    with n_sub=32 the code space is 16^32 and only the L/k collision bound
+    applies), deletes and filters honored through the kernel's norm bias."""
+    x, q = data
+    _, gt = exact_ground_truth(x, q, 10)
+    idx = PQFlatIndex(_pq4(scan="pallas", rerank=16, pallas_chunk=1024,
+                           l_bins=512))
+    idx.build(x)
+    assert _recall(idx.search(q, 10)[1], gt) > 0.88
+    idx.remove([int(gt[0][0])])
+    assert int(gt[0][0]) not in np.asarray(idx.search(q[:1], 10)[1]).tolist()
+    _, i = idx.search(q[:10], 5, allowed=np.arange(200))
+    i = np.asarray(i)
+    assert ((i < 200) | (i == -1)).all() and (i >= 0).any()
+
+
+def test_pq4_opq_pallas(data):
+    """OPQ + 4-bit + pallas path compose: scan in rotated space, refine in
+    original space."""
+    x, q = data
+    _, gt = exact_ground_truth(x, q, 10)
+    idx = PQFlatIndex(_pq4(scan="pallas", opq=True, rerank=16,
+                           pallas_chunk=1024, l_bins=512))
+    idx.build(x)
+    assert _recall(idx.search(q, 10)[1], gt) > 0.88
+
+
+def test_pq4_config_validation():
+    with pytest.raises(ValueError):
+        PQConfig(dim=32, n_sub=8, n_codes=256, scan="pallas")  # needs <=16
+    with pytest.raises(ValueError):
+        PQConfig(dim=48, n_sub=12, n_codes=16, scan="pallas")  # n_sub % 8
+    with pytest.raises(ValueError):
+        PQConfig(dim=32, n_sub=8, n_codes=16, scan="pallas",
+                 pallas_chunk=300)  # chunk % l_bins

@@ -40,7 +40,10 @@ from ..utils.config import PQConfig
 class PQState(NamedTuple):
     """Device-resident PQ index state (a pytree)."""
 
-    codes: jax.Array      # [cap, S] uint8 PQ codes
+    codes: jax.Array      # [cap, S] uint8 codes; nibble-packed configs
+                          # (cfg.packed: n_codes <= 16) store TRANSPOSED
+                          # packed bytes [S//2, cap] so the Pallas ADC scan
+                          # streams lane-aligned chunks (ops/pallas_pq.py)
     norms: jax.Array      # [cap] f32: ||decoded row||^2 for l2, 0 for
                           # dot/cosine; +inf = uningested/tombstoned (the
                           # validity bias — same convention as FlatState)
@@ -60,8 +63,10 @@ def init_state(capacity: int, cfg: PQConfig,
         codebooks = jnp.zeros((cfg.n_sub, cfg.n_codes, cfg.dsub), jnp.float32)
     if rot is None:
         rot = jnp.zeros((0, 0), jnp.float32)
+    codes_shape = ((cfg.codes_width, capacity) if cfg.packed
+                   else (capacity, cfg.n_sub))
     return PQState(
-        codes=jnp.zeros((capacity, cfg.n_sub), jnp.uint8),
+        codes=jnp.zeros(codes_shape, jnp.uint8),
         norms=jnp.full((capacity,), jnp.inf, jnp.float32),
         codebooks=codebooks,
         rot=rot,
@@ -71,8 +76,9 @@ def init_state(capacity: int, cfg: PQConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "refine"))
-def _ingest(state: PQState, x: jax.Array, metric: str, refine: str) -> PQState:
+@functools.partial(jax.jit, static_argnames=("metric", "refine", "packed"))
+def _ingest(state: PQState, x: jax.Array, metric: str, refine: str,
+            packed: bool) -> PQState:
     xf = D.preprocess_queries(x, metric)   # f32 (+ normalize for cosine)
     # codes quantize the ROTATED rows under OPQ (rotation preserves l2/dot
     # scores, so the scan stays consistent with rotated queries); the refine
@@ -92,8 +98,14 @@ def _ingest(state: PQState, x: jax.Array, metric: str, refine: str) -> PQState:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[refine]
         rrows = xf.astype(dtype)
         rscales = jnp.ones((x.shape[0],), jnp.float32)
+    if packed:
+        new_codes = jax.lax.dynamic_update_slice(
+            state.codes, PQ.pack_nibbles(codes).T, (0, state.n))
+    else:
+        new_codes = jax.lax.dynamic_update_slice(state.codes, codes,
+                                                 (state.n, 0))
     return PQState(
-        codes=jax.lax.dynamic_update_slice(state.codes, codes, (state.n, 0)),
+        codes=new_codes,
         norms=jax.lax.dynamic_update_slice(state.norms, norms, (state.n,)),
         codebooks=state.codebooks,
         rot=state.rot,
@@ -107,26 +119,33 @@ def _ingest(state: PQState, x: jax.Array, metric: str, refine: str) -> PQState:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "tile_n", "approx", "recall_target",
-                     "precision"),
+                     "precision", "packed"),
 )
 def _pq_scan(
     state: PQState, qs: jax.Array, k: int, metric: str, tile_n: int,
-    approx: bool, recall_target: float, precision: str,
+    approx: bool, recall_target: float, precision: str, packed: bool = False,
 ):
     """Pass 1: tiled decode + MXU score + running top-k over PQ codes.
 
     Returns (surrogate scores [B, k], ids [B, k]); invalid slots id -1,
     score +inf. Same scan/merge skeleton as flat._search, with the tile's
     vectors produced by the one-hot decode instead of read from storage.
+    packed: codes are the transposed nibble layout [S//2, cap] (unpacked
+    per tile — the XLA reference path for pallas-scan configs).
     """
-    cap = state.codes.shape[0]
+    cap = state.codes.shape[1] if packed else state.codes.shape[0]
     tile = min(tile_n, cap)
     n_tiles = -(-cap // tile)
     pad_cap = n_tiles * tile
     b = qs.shape[0]
 
-    code_t = jnp.pad(state.codes, ((0, pad_cap - cap), (0, 0))).reshape(
-        n_tiles, tile, -1)
+    if packed:
+        n_sub = 2 * state.codes.shape[0]
+        code_t = jnp.pad(state.codes, ((0, 0), (0, pad_cap - cap))).reshape(
+            -1, n_tiles, tile).transpose(1, 0, 2)        # [T, S//2, tile]
+    else:
+        code_t = jnp.pad(state.codes, ((0, pad_cap - cap), (0, 0))).reshape(
+            n_tiles, tile, -1)
     norm_t = jnp.pad(state.norms, (0, pad_cap - cap),
                      constant_values=jnp.inf).reshape(n_tiles, tile)
     prec = {
@@ -143,6 +162,8 @@ def _pq_scan(
     def body(carry, inputs):
         t_idx, codes, norms = inputs
         best_s, best_i = carry
+        if packed:
+            codes = PQ.unpack_nibbles(codes.T, n_sub)    # [tile, S]
         xhat = PQ.decode(codes, state.codebooks)         # [tile, D] f32
         s = D.pairwise_scores(qs, xhat, norms, metric, precision=prec)
         kk = min(k, tile)
@@ -166,29 +187,42 @@ def _pq_scan(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "tile_n", "approx", "recall_target",
-                     "precision", "refine", "rerank"),
+    jax.jit, static_argnames=("k", "cfg", "approx", "interpret"),
 )
 def _pq_search(
-    state: PQState, q: jax.Array, k: int, metric: str, tile_n: int,
-    approx: bool, recall_target: float, precision: str, refine: str,
-    rerank: int,
+    state: PQState, q: jax.Array, k: int, cfg, approx: bool,
+    interpret: bool = False,
 ):
     """Full search: PQ scan (+ exact refine rerank when a refine store
-    exists). Returns user-facing (scores, ids)."""
+    exists). Returns user-facing (scores, ids). cfg is the frozen PQConfig
+    (hashable — a static arg). approx=True with cfg.scan='pallas' takes the
+    fused ADC kernel (ops/pallas_pq.py); approx=False always takes the exact
+    top-k XLA pass (both remain approximate w.r.t. the original vectors —
+    PQ quantization; the refine rerank repairs ranking)."""
+    metric, refine, rerank = cfg.metric, cfg.refine, cfg.rerank
     qs = D.preprocess_queries(q, metric)
     # scan pass runs in the (possibly OPQ-rotated) code space; the refine
     # rerank below scores the ORIGINAL qs against the original-space refine
     # store. ||qr|| == ||qs||, so finalize_scores works on either.
     qr = PQ.apply_rotation(qs, state.rot)
-    if refine == "none":
-        best_s, best_i = _pq_scan(state, qr, k, metric, tile_n, approx,
-                                  recall_target, precision)
+    kk = k if refine == "none" else max(k * rerank, k)
+
+    if approx and cfg.scan == "pallas":
+        from ..ops.pallas_pq import pq_scan_topk
+
+        lut = PQ.adc_lut(qr, state.codebooks)
+        s1, i1 = pq_scan_topk(
+            lut, state.codes, state.norms, kk, l_bins=cfg.l_bins,
+            bq_tile=cfg.pallas_bq, chunk=cfg.pallas_chunk, metric=metric,
+            precision=cfg.scan_precision, interpret=interpret)
     else:
-        kk = max(k * rerank, k)
-        _, i1 = _pq_scan(state, qr, kk, metric, tile_n, approx,
-                         recall_target, precision)
+        s1, i1 = _pq_scan(state, qr, kk, metric, cfg.tile_n, approx,
+                          cfg.recall_target, cfg.precision,
+                          packed=cfg.packed)
+
+    if refine == "none":
+        best_s, best_i = s1, i1
+    else:
         safe = jnp.maximum(i1, 0)
         rv = jnp.take(state.refine, safe, axis=0).astype(jnp.float32)
         if refine == "int8":
@@ -274,8 +308,12 @@ class PQFlatIndex:
             old = self.state
             grown = init_state(new_cap, self.cfg, codebooks=old.codebooks,
                                rot=old.rot)
+            if self.cfg.packed:
+                new_codes = grown.codes.at[:, : self.capacity].set(old.codes)
+            else:
+                new_codes = grown.codes.at[: self.capacity].set(old.codes)
             self.state = PQState(
-                codes=grown.codes.at[: self.capacity].set(old.codes),
+                codes=new_codes,
                 norms=grown.norms.at[: self.capacity].set(old.norms),
                 codebooks=old.codebooks,
                 rot=old.rot,
@@ -305,7 +343,7 @@ class PQFlatIndex:
                 self.state = self.state._replace(codebooks=cb, rot=rot)
                 self._trained = True
             self.state = _ingest(self.state, x, self.cfg.metric,
-                                 self.cfg.refine)
+                                 self.cfg.refine, self.cfg.packed)
 
     insert = add  # reference-parity alias (src/hnsw.zig:73)
 
@@ -366,7 +404,8 @@ class PQFlatIndex:
                     rows = jnp.asarray(live_np)
                     st = self.state
                     self.state = PQState(
-                        codes=jnp.take(st.codes, rows, axis=0),
+                        codes=jnp.take(st.codes, rows,
+                                       axis=1 if self.cfg.packed else 0),
                         norms=jnp.take(st.norms, rows, axis=0),
                         codebooks=st.codebooks,
                         rot=st.rot,
@@ -444,7 +483,11 @@ class PQFlatIndex:
             if self.cfg.refine == "int8":
                 vecs = vecs * jnp.take(self.state.r_scales, rows)[:, None]
             return np.asarray(vecs)
-        codes = jnp.take(self.state.codes, rows, axis=0)
+        if self.cfg.packed:
+            codes = PQ.unpack_nibbles(
+                jnp.take(self.state.codes, rows, axis=1).T, self.cfg.n_sub)
+        else:
+            codes = jnp.take(self.state.codes, rows, axis=0)
         dec = PQ.decode(codes, self.state.codebooks)
         # OPQ codes reconstruct x@rot; rotate back to the user's space
         # (rot is orthogonal, so rot.T is its inverse)
@@ -479,7 +522,7 @@ class PQFlatIndex:
         if state is not None and allowed is not None:
             from ..utils.masks import allowed_mask
 
-            mask = allowed_mask(allowed, self._n_total, state.codes.shape[0])
+            mask = allowed_mask(allowed, self._n_total, state.norms.shape[0])
             state = state._replace(
                 norms=jnp.where(mask, state.norms, jnp.inf))
         if state is None or not self._trained:
@@ -487,9 +530,8 @@ class PQFlatIndex:
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
         else:
             s, i = _pq_search(
-                state, q, k, self.cfg.metric, self.cfg.tile_n, approx,
-                self.cfg.recall_target, self.cfg.precision, self.cfg.refine,
-                self.cfg.rerank,
+                state, q, k, self.cfg, approx,
+                interpret=jax.default_backend() != "tpu",
             )
         if squeeze:
             return s[0], i[0]

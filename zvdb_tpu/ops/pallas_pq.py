@@ -1,0 +1,249 @@
+"""Pallas fused PQ (ADC) scan: in-VMEM one-hot decode + MXU LUT matmul +
+bin-parallel partial top-k.
+
+Why this kernel exists (VERDICT round 3, item 1): the XLA PQ scan decodes
+each tile through a [tile, S, C] one-hot block. At 8-bit codes (C=256) that
+is either a 268 MB/tile HBM intermediate or, folded into scoring, an
+effective scan width of S*C = 4096 — 32x the FLOPs of the flat 128d scan.
+Measured result: pq_1m 22k QPS, 10x SLOWER than the flat scan it exists to
+beat. The fix is the TPU shape of FAISS's 4-bit "fast scan": 16 codes per
+subspace keeps the one-hot width S*16 (512 at n_sub=32) — 4x the flat
+scan's width, run in one full-rate bf16 MXU pass, with the one-hot built in
+VMEM so HBM corpus traffic is the packed codes only (16 B/row).
+
+Pipeline per (query-tile i, corpus-chunk j) grid step:
+
+  codes_T block [nb, chunk] uint8   (nb = n_sub/2 packed bytes; the array is
+      stored TRANSPOSED so the chunk axis is the 128-lane axis)
+  -> pltpu.repeat x32 along sublanes -> [S*16, chunk] int32
+  -> nibble extract + compare against per-row code ids -> one-hot bf16
+     (shift/code per row are tiny precomputed column inputs, so the kernel
+     has no integer division by runtime layout constants)
+  -> dots = lut [bq, S*16] @ onehot [S*16, chunk]   (ONE fat MXU matmul;
+     lut rows are permuted outside to match the repeat layout)
+  -> surrogate scores = norms - factor * dots
+  -> fold into per-query [bq, L] bin minima (same exact-per-bin scheme as
+     ops/pallas_topk.py; the caller runs one tiny top_k over L).
+
+Selection recall is the bin collision bound (pallas_topk.py docstring);
+score precision: "default" = one bf16 pass (PQ quantization error dominates
+bf16 rounding; the engine's refine rerank repairs ranking anyway), "high" =
+hi/lo split of the LUT into two bf16 passes (one-hot entries are exact in
+bf16, so only the LUT carries rounding).
+
+Replaces: reference's scalar L2 loop + heap (src/hnsw.zig:182-224) at
+brute-force scale, for the product-quantized storage tier.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG1 = -1
+
+
+def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
+               out_s_ref, out_i_ref, best_s, best_i, *,
+               l_bins: int, metric: str, precision: str):
+    bq = lut_ref.shape[0]
+    sc = lut_ref.shape[1]          # n_sub * 16
+    chunk = codes_ref.shape[1]
+    nb = codes_ref.shape[0]
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full((bq, l_bins), jnp.inf, jnp.float32)
+        best_i[:] = jnp.full((bq, l_bins), _NEG1, jnp.int32)
+
+    # --- one-hot decode in VMEM -------------------------------------------
+    # tile-repeat the nb packed-byte rows 32x: result row r*nb + b is byte
+    # row b, copy r; copy r encodes (code c = r % 16, nibble = r // 16) and
+    # the outside wrapper permutes the LUT columns to the same (r, b) order.
+    rep = pltpu.repeat(codes_ref[:].astype(jnp.int32), sc // nb, axis=0)
+    lo = rep & 0xF
+    hi = (rep >> 4) & 0xF
+    val = jnp.where(shift_ref[:, 0:1] > 0, hi, lo)       # [sc, chunk]
+    oh = (val == code_ref[:, 0:1]).astype(jnp.bfloat16)  # [sc, chunk]
+
+    # --- ADC scoring: one fat MXU matmul ----------------------------------
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    if precision == "high":
+        lut = lut_ref[:]
+        l_hi = lut.astype(jnp.bfloat16)
+        l_lo = (lut - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots = dot(l_hi, oh) + dot(l_lo, oh)             # [bq, chunk]
+    else:
+        dots = dot(lut_ref[:].astype(jnp.bfloat16), oh)
+    factor = 2.0 if metric == "l2" else 1.0
+    s = n_ref[0, :][None, :] - factor * dots
+
+    # --- bin fold (identical scheme to pallas_topk._scan_kernel) ----------
+    base = j * chunk
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, l_bins), 1)
+    cur_s = best_s[:]
+    cur_i = best_i[:]
+    for m in range(chunk // l_bins):
+        sm = s[:, m * l_bins:(m + 1) * l_bins]
+        im = base + m * l_bins + col
+        take = sm < cur_s
+        cur_s = jnp.where(take, sm, cur_s)
+        cur_i = jnp.where(take, im, cur_i)
+    best_s[:] = cur_s
+    best_i[:] = cur_i
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+def _layout_consts(n_sub: int):
+    """Per-onehot-row (shift_is_high, code) columns for the tile-repeat
+    layout: row r*nb + b <-> subspace 2b + (r // 16), code r % 16."""
+    nb = n_sub // 2
+    sc = n_sub * 16
+    r = np.arange(sc) // nb
+    code = (r % 16).astype(np.int32)
+    shift = ((r // 16) * 4).astype(np.int32)
+    return (jnp.asarray(shift)[:, None] * jnp.ones((1, 128), jnp.int32),
+            jnp.asarray(code)[:, None] * jnp.ones((1, 128), jnp.int32))
+
+
+def permute_lut(lut: jax.Array, n_sub: int) -> jax.Array:
+    """[B, S, 16] ADC table (ops/pq.py:adc_lut) -> [B, S*16] columns in the
+    kernel's repeat order: column (r, b) = (subspace 2b + r//16, code r%16)."""
+    b = lut.shape[0]
+    nb = n_sub // 2
+    # s -> (byte b, nibble n): s = 2b + n
+    x = lut.reshape(b, nb, 2, 16)          # [B, b, n, c]
+    x = x.transpose(0, 2, 3, 1)            # [B, n, c, b]  (row = (n*16+c)*nb+b)
+    return x.reshape(b, n_sub * 16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_bins", "bq_tile", "chunk", "metric", "precision",
+                     "interpret"),
+)
+def pq_scan_bins(
+    lut: jax.Array,          # [B, S, 16] f32 ADC table (adc_lut, rotated qs)
+    codes_t: jax.Array,      # [S//2, N] uint8 nibble-packed codes, TRANSPOSED
+    norms: jax.Array,        # [N] f32 decoded sq-norms (l2) / 0; +inf invalid
+    l_bins: int = 256,
+    bq_tile: int = 512,
+    chunk: int = 1024,
+    metric: str = "l2",
+    precision: str = "default",
+    interpret: bool = False,
+):
+    """Fold the PQ-coded corpus into [B, l_bins] per-query bin minima.
+
+    Returns (bin_scores [B, L] f32 surrogates, bin_ids [B, L] int32, -1 where
+    a bin never saw a valid row). Surrogate convention matches the engines:
+    l2 = ||xhat||^2 - 2 q.xhat (query norm not added), dot/cosine = -q.xhat.
+    """
+    b, n_sub, c16 = lut.shape
+    assert c16 == 16, "pallas PQ scan requires n_codes <= 16 (nibble codes)"
+    nb, n = codes_t.shape
+    assert nb * 2 == n_sub
+    sc = n_sub * 16
+    assert sc % 128 == 0, "n_sub must be a multiple of 8 for the pallas scan"
+    assert chunk % l_bins == 0, "chunk must be a multiple of l_bins"
+
+    lut_k = permute_lut(lut, n_sub)        # [B, SC]
+    shift_col, code_col = _layout_consts(n_sub)
+
+    bq = min(bq_tile, -(-max(8, b) // 8) * 8)
+    pb = -(-b // bq) * bq - b
+    pn = -(-n // chunk) * chunk - n
+    lut_p = jnp.pad(lut_k, ((0, pb), (0, 0)))
+    codes_p = jnp.pad(codes_t, ((0, 0), (0, pn)))
+    norms_p = jnp.pad(norms.astype(jnp.float32), (0, pn),
+                      constant_values=jnp.inf).reshape(1, -1)
+
+    n_q_tiles = lut_p.shape[0] // bq
+    n_chunks = codes_p.shape[1] // chunk
+
+    kernel = functools.partial(
+        _pq_kernel, l_bins=l_bins, metric=metric, precision=precision)
+    grid = (n_q_tiles, n_chunks)           # chunk innermost: scratch accumulates
+    bin_s, bin_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, sc), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, l_bins), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, l_bins), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lut_p.shape[0], l_bins), jnp.float32),
+            jax.ShapeDtypeStruct((lut_p.shape[0], l_bins), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, l_bins), jnp.float32),
+            pltpu.VMEM((bq, l_bins), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * codes_p.shape[1] * sc,
+            bytes_accessed=lut_p.size * 4 + n_q_tiles * codes_p.size,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lut_p, codes_p, norms_p, shift_col, code_col)
+    return bin_s[:b], bin_i[:b]
+
+
+def pq_scan_topk(
+    lut: jax.Array,
+    codes_t: jax.Array,
+    norms: jax.Array,
+    k: int,
+    l_bins: int = 256,
+    bq_tile: int = 512,
+    chunk: int = 1024,
+    metric: str = "l2",
+    precision: str = "default",
+    interpret: bool = False,
+):
+    """Fused PQ top-k: bin fold + one tiny exact top_k over L.
+
+    Returns (surrogate scores [B, k], ids [B, k]); invalid slots +inf / -1.
+    """
+    bin_s, bin_i = pq_scan_bins(
+        lut, codes_t, norms, l_bins=l_bins, bq_tile=bq_tile, chunk=chunk,
+        metric=metric, precision=precision, interpret=interpret)
+    kk = min(k, l_bins)
+    neg, p = jax.lax.top_k(-bin_s, kk)
+    ids = jnp.take_along_axis(bin_i, p, axis=-1)
+    scores = -neg
+    scores = jnp.where(ids >= 0, scores, jnp.inf)
+    if kk < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return scores, ids

@@ -183,6 +183,47 @@ def decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     return out.reshape(t, n_sub * dsub)
 
 
+def pack_nibbles(codes: jax.Array) -> jax.Array:
+    """[B, S] uint8 codes (< 16) -> [B, S//2] packed bytes.
+
+    Byte j holds subspace 2j in the LOW nibble and 2j+1 in the HIGH nibble
+    (the layout ops/pallas_pq.py's in-kernel one-hot extraction assumes).
+    S must be even. 4-bit codes halve PQ storage (16 B/vector at n_sub=32)
+    and are what makes the fused Pallas ADC scan MXU-shaped: 16 one-hot
+    columns per subspace keeps the effective scan width S*16 instead of
+    S*256 (the round-3 measured FLOP wall — VERDICT round 3 item 1).
+    """
+    lo = codes[:, 0::2].astype(jnp.uint8)
+    hi = codes[:, 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_nibbles(packed: jax.Array, n_sub: int) -> jax.Array:
+    """[B, S//2] packed bytes -> [B, S] uint8 codes (inverse of pack_nibbles)."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    out = jnp.stack([lo, hi], axis=-1)          # [B, S//2, 2]
+    return out.reshape(*packed.shape[:-1], n_sub)
+
+
+def adc_lut(q: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Per-query ADC dot-product table: [B, D] queries (already rotated for
+    OPQ) x [S, C, dsub] codebooks -> [B, S, C] f32 with
+    lut[b, s, c] = q_s[b] . codebook[s, c].
+
+    The asymmetric-distance scan is then scores[b, t] = sum_s
+    lut[b, s, codes[t, s]] (times -2 plus norms for l2). Tiny MXU work
+    (B*C*D FLOPs once per query batch) — the per-corpus-row cost lives in
+    the scan kernel.
+    """
+    b, d = q.shape
+    n_sub, n_codes, dsub = codebooks.shape
+    qs = q.reshape(b, n_sub, dsub)
+    return jnp.einsum("bsd,scd->bsc", qs, codebooks,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def decoded_sq_norms(codes: jax.Array, codebooks: jax.Array,
                      chunk: int = 16384) -> jax.Array:

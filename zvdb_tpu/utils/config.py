@@ -123,12 +123,17 @@ class PQConfig:
 
     dim: int
     metric: Metric = "l2"
-    # Subspace count: codes are n_sub bytes/vector; dim % n_sub must be 0.
-    # More subspaces = finer quantization = better recall, linearly more
-    # memory. dsub = dim/n_sub of 8 is the classic operating point.
+    # Subspace count: codes are n_sub bytes/vector (n_sub/2 when nibble-packed,
+    # see n_codes). More subspaces = finer quantization = better recall,
+    # linearly more memory. dsub = dim/n_sub of 8 is the classic operating
+    # point for 8-bit codes; 4-bit codes pair with dsub of 4 (n_sub = dim/4).
     n_sub: int = 16
-    # Codewords per subspace. 256 keeps codes one byte and is standard;
-    # the decode matmul cost scales linearly with it.
+    # Codewords per subspace. 256 keeps codes one byte; <= 16 stores two
+    # codes per byte (nibble-packed — half the memory) and unlocks the fused
+    # Pallas scan (scan="pallas"), whose one-hot ADC matmul is 16x narrower
+    # than the 8-bit one-hot (the round-3 measured FLOP wall). The recall
+    # lost to coarser codewords is made back with more subspaces: 4-bit
+    # n_sub=32 stores the same 16 B/vector as 8-bit n_sub=16.
     n_codes: int = 256
     # Corpus rows per scan tile. Smaller than FlatConfig's 131072: the
     # decode step materializes a [tile, n_sub, n_codes] one-hot block
@@ -161,6 +166,22 @@ class PQConfig:
     # SVD; the final codebooks get the full kmeans_iters polish.
     opq_iters: int = 8
     seed: int = 0
+    # Scan implementation for the codes pass:
+    #   "xla"    — lax.scan decode-tiles + approx top-k (any n_codes).
+    #   "pallas" — fused ADC kernel (ops/pallas_pq.py): one-hot built in
+    #              VMEM, one bf16 MXU matmul per chunk, bin-fold selection.
+    #              Requires n_codes <= 16 and n_sub % 8 == 0 (nibble layout).
+    scan: str = "xla"
+    # Pallas scan matmul precision: "default" = one bf16 pass (PQ
+    # quantization error dominates bf16 rounding; the refine rerank repairs
+    # ranking), "high" = hi/lo LUT split, two bf16 passes.
+    scan_precision: str = "default"
+    # Pallas path: per-query bin count (selection recall ~ L/k*(1-(1-1/L)^k);
+    # must be >= k*rerank so the refine pool survives) and corpus rows per
+    # kernel chunk (multiple of l_bins).
+    l_bins: int = 256
+    pallas_chunk: int = 1024
+    pallas_bq: int = 512
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
@@ -174,6 +195,25 @@ class PQConfig:
             raise ValueError("n_codes must be in [2, 256] (codes are uint8)")
         if self.refine not in ("none", "int8", "float32", "bfloat16"):
             raise ValueError(f"invalid refine {self.refine!r}")
+        if self.scan not in ("xla", "pallas"):
+            raise ValueError(f"scan must be 'xla' or 'pallas', got {self.scan!r}")
+        if self.scan == "pallas":
+            if self.n_codes > 16:
+                raise ValueError("scan='pallas' requires n_codes <= 16")
+            if self.n_sub % 8 != 0:
+                raise ValueError("scan='pallas' requires n_sub % 8 == 0")
+            if self.pallas_chunk % self.l_bins != 0:
+                raise ValueError("pallas_chunk must be a multiple of l_bins")
+
+    @property
+    def packed(self) -> bool:
+        """Nibble-packed code storage (two 4-bit codes per byte, stored
+        transposed [n_sub/2, cap] so the Pallas scan streams lane-aligned)."""
+        return self.n_codes <= 16 and self.n_sub % 2 == 0
+
+    @property
+    def codes_width(self) -> int:
+        return self.n_sub // 2 if self.packed else self.n_sub
 
     @property
     def dsub(self) -> int:
@@ -189,7 +229,7 @@ class PQConfig:
         """Device bytes per vector (codes + norm + refine store)."""
         refine = {"none": 0, "int8": self.dim + 4,
                   "float32": 4 * self.dim, "bfloat16": 2 * self.dim}[self.refine]
-        return self.n_sub + 4 + refine
+        return self.codes_width + 4 + refine
 
 
 @dataclasses.dataclass(frozen=True)
