@@ -289,6 +289,88 @@ class ShardedFlat:
 
         return run
 
+    def _make_range(self, max_results: int):
+        cfg = self.cfg
+        mesh = self.mesh
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[cfg.precision]
+        is_l2 = cfg.metric == "l2"
+
+        @jax.jit
+        def run(vectors, norms, ids, q, radius):
+            def local(v, nn, ii, q, radius):
+                v, nn, ii = v[0], nn[0], ii[0]
+                qp = D.preprocess_queries(q, cfg.metric)
+                s = D.pairwise_scores(qp, v, nn, cfg.metric, precision=prec)
+                s = jnp.where(ii[None, :] >= 0, s, jnp.inf)
+                user = D.finalize_scores(s, qp, cfg.metric)   # user-facing
+                valid = jnp.isfinite(s)
+                in_r = valid & ((user <= radius) if is_l2 else (user >= radius))
+                cnt = jnp.sum(in_r, axis=-1).astype(jnp.int32)   # [B]
+                kk = min(max_results, s.shape[-1])
+                ts, ti = T.smallest_k(
+                    s, jnp.broadcast_to(ii[None, :], s.shape), kk)
+                ti = jnp.where(jnp.isfinite(ts), ti, -1)
+                if kk < max_results:
+                    pad = max_results - kk
+                    ts = jnp.pad(ts, ((0, 0), (0, pad)),
+                                 constant_values=jnp.inf)
+                    ti = jnp.pad(ti, ((0, 0), (0, pad)), constant_values=-1)
+                return ts[:, None, :], ti[:, None, :], cnt[:, None]
+
+            ts, ti, cnt = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(),
+                          P()),
+                out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS),
+                           P(None, SHARD_AXIS)),
+            )(vectors, norms, ids, q, radius)
+            b = ts.shape[0]
+            counts = jnp.sum(cnt, axis=-1)                   # [B]
+            ms, mi = T.smallest_k(ts.reshape(b, -1), ti.reshape(b, -1),
+                                  max_results)
+            user = D.finalize_scores(
+                ms, D.preprocess_queries(q, cfg.metric), cfg.metric)
+            in_r = (mi >= 0) & ((user <= radius) if is_l2
+                                else (user >= radius))
+            mi = jnp.where(in_r, mi, -1)
+            user = jnp.where(in_r, user, jnp.inf if is_l2 else -jnp.inf)
+            return user, mi, counts
+
+        return run
+
+    def search_range(self, q, radius: float, max_results: int = 128):
+        """All neighbors within `radius` across every shard (same contract
+        as FlatIndex.search_range: squared-L2 <= radius for l2, similarity
+        >= radius otherwise). Returns (scores [B, R], ids [B, R], counts
+        [B]); counts is the EXACT global in-range total (per-shard counts
+        summed over the mesh), rows hold the R globally-best when truncated.
+        Each shard contributes its top-R so the global top-R is always a
+        subset of the gathered pool. radius is traced (one compiled program
+        serves every radius)."""
+        self._flush()
+        q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
+        if q.shape[-1] != self.cfg.dim:
+            raise ValueError(
+                f"dimension mismatch: index dim {self.cfg.dim}, "
+                f"got {q.shape[-1]}")
+        if self.state is None or self._n == 0:
+            return (
+                jnp.full((q.shape[0], max_results),
+                         jnp.inf if self.cfg.metric == "l2" else -jnp.inf),
+                jnp.full((q.shape[0], max_results), -1, jnp.int32),
+                jnp.zeros((q.shape[0],), jnp.int32),
+            )
+        key = ("range", max_results)
+        if key not in self._fns:
+            self._fns[key] = self._make_range(max_results)
+        st = self.state
+        return self._fns[key](st["vectors"], st["norms"], st["ids"], q,
+                              jnp.asarray(radius, jnp.float32))
+
     def search(self, q, k: int, approx: bool = True, allowed=None):
         """allowed: optional allowlist over global ids (bool mask or id
         array) — filtered search, exact at any selectivity (one per-call
