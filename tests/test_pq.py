@@ -334,6 +334,51 @@ def test_pq4_packed_surface(data, tmp_path):
     assert (np.asarray(i) < len(old)).all()
 
 
+def test_pallas_pq_per_bin2_exact(data):
+    """per_bin=2 bin fold: for every bin, the kernel's two kept rows are
+    exactly the two smallest decoded ADC scores among the rows mapping to
+    that bin (row % L within each chunk) — verified against a brute-force
+    per-bin sort of the decoded corpus. The first L columns must equal the
+    per_bin=1 output."""
+    import jax.numpy as jnp
+    from zvdb_tpu.ops import pq as PQ
+    from zvdb_tpu.ops.pallas_pq import pq_scan_bins
+
+    x, q = data
+    idx = PQFlatIndex(_pq4(refine="none"))
+    idx.build(x)
+    st = idx.state
+    n = len(x)
+    qs = q[:16].astype(np.float32)
+    lut = PQ.adc_lut(jnp.asarray(qs), st.codebooks)
+    L, chunk = 128, 512
+    s2, i2 = map(np.asarray, pq_scan_bins(
+        lut, st.codes, st.norms, l_bins=L, chunk=chunk, precision="high",
+        per_bin=2, interpret=True))
+    s1, i1 = map(np.asarray, pq_scan_bins(
+        lut, st.codes, st.norms, l_bins=L, chunk=chunk, precision="high",
+        per_bin=1, interpret=True))
+    np.testing.assert_array_equal(i2[:, :L], i1)
+    np.testing.assert_allclose(s2[:, :L], s1)
+    # oracle: exact decoded scores, two best per bin
+    dec = np.asarray(PQ.decode(
+        PQ.unpack_nibbles(np.asarray(st.codes).T, 8)[:n], st.codebooks))
+    nm = np.asarray(st.norms)[:n]
+    rows = np.arange(n)
+    bins = rows % L
+    for b in range(0, len(qs), 5):
+        sc = nm - 2.0 * dec @ qs[b]
+        for bin_id in range(0, L, 17):
+            members = rows[bins == bin_id]
+            order = members[np.argsort(sc[members], kind="stable")]
+            want = set(order[:2].tolist())
+            got = {int(i2[b, bin_id]), int(i2[b, L + bin_id])}
+            # tie-tolerant: accept any rows scoring within fp noise of want
+            wmax = sc[order[1]] if len(order) > 1 else sc[order[0]]
+            assert all(sc[g] <= wmax + 1e-4 * abs(wmax) + 1e-5
+                       for g in got), (b, bin_id, got, want)
+
+
 def test_pallas_pq_kernel_matches_xla_scan(data):
     """Fused ADC kernel (interpret mode) vs the exact XLA decode-scan: the
     kernel's surrogate scores must match the decoded-corpus scores bitwise-

@@ -138,6 +138,27 @@ def make_scorer(state, q: jax.Array, metric: str):
     return lambda rows: _scores_to(state, q, rows, metric)
 
 
+def make_packed_scorer(table: jax.Array, qp: jax.Array):
+    """One-gather scorer over the packed [cap, D+1] (vector ‖ squared-norm)
+    table — the CAGRA hop-bandwidth layout applied to HNSW (l2 + f32 only).
+
+    score = ||x||^2 - 2 q.x = -2 * ([q, -0.5] . [x, ||x||^2]), so the fused
+    row needs no separate norm gather: each hop costs ONE row gather instead
+    of two (gathers are row-count-bound on TPU, ~6-9 ns/row regardless of
+    width — the extra norm column is free, the second gather is not)."""
+    b = qp.shape[0]
+    qe = jnp.concatenate([qp, jnp.full((b, 1), -0.5, jnp.float32)], axis=1)
+
+    def score_rows(rows):
+        safe = jnp.maximum(rows, 0)
+        vx = jnp.take(table, safe, axis=0)                 # ONE gather
+        dots = jnp.einsum("bd,bcd->bc", qe, vx,
+                          preferred_element_type=jnp.float32)
+        return jnp.where(rows >= 0, -2.0 * dots, INF)
+
+    return score_rows
+
+
 def _greedy_layer_fn(
     score_rows,              # rows [B, C] -> scores [B, C]
     ep: jax.Array,           # [B] int32 current entry rows
@@ -338,19 +359,23 @@ def descend(
     stop_layer: int = 0,
     max_upper_iters: int = 32,
     limit_n: Optional[jax.Array] = None,
+    scorer=None,
 ):
     """Greedy-descend from the entry point through upper layers down to
-    `stop_layer + 1`, returning per-query entry rows+scores for `stop_layer`."""
+    `stop_layer + 1`, returning per-query entry rows+scores for `stop_layer`.
+    `scorer`: optional row-scoring closure override (packed layout)."""
     b = q.shape[0]
+    if scorer is None:
+        scorer = make_scorer(state, q, metric)
     ep = jnp.broadcast_to(state.entry, (b,))
-    ep_score = _scores_to(state, q, ep[:, None], metric)[:, 0]
+    ep_score = scorer(ep[:, None])[:, 0]
     for ell in range(levels_cap, stop_layer, -1):
         active = ell <= state.max_level
         nbrs = state.nbrU[ell - 1]
 
         def run(args, nbrs=nbrs):
             ep, ep_score = args
-            return _greedy_layer(state, q, ep, ep_score, nbrs, metric, max_upper_iters)
+            return _greedy_layer_fn(scorer, ep, ep_score, nbrs, max_upper_iters)
 
         ep, ep_score = jax.lax.cond(active, run, lambda a: a, (ep, ep_score))
     return ep, ep_score
@@ -371,6 +396,7 @@ def search_state_impl(
     dedupe_candidates: bool = True,
     seed_anchors: int = 16,
     dead: Optional[jax.Array] = None,
+    packed_table: Optional[jax.Array] = None,
 ):
     """Full hierarchical kNN search. Returns (scores [B,k], ext_ids [B,k], rows [B,k]).
 
@@ -378,29 +404,34 @@ def search_state_impl(
     for dot/cosine). Empty slots: score inf/-inf, ids -1. `dead`: optional
     [cap+1] bool tombstone mask by internal row — tombstoned nodes route
     beams but never enter results (mark-and-filter delete).
+    `packed_table`: optional [cap, D+1] (vector ‖ norm) layout (l2+f32 only)
+    — every hop on every layer then costs ONE row gather instead of two.
     """
     if precision != "default":
         with jax.default_matmul_precision(precision):
             return _search_state_body(
                 state, q, k, metric, ef, expand, max_iters, max_upper_iters,
                 levels_cap, search_degree, dedupe_candidates, seed_anchors,
-                dead,
+                dead, packed_table,
             )
     return _search_state_body(
         state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
-        search_degree, dedupe_candidates, seed_anchors, dead,
+        search_degree, dedupe_candidates, seed_anchors, dead, packed_table,
     )
 
 
 def _search_state_body(
     state, q, k, metric, ef, expand, max_iters, max_upper_iters, levels_cap,
     search_degree=None, dedupe_candidates=True, seed_anchors=16, dead=None,
+    packed_table=None,
 ):
     qp = D.preprocess_queries(q, metric)
     ef = max(ef, k)
+    scorer = (make_packed_scorer(packed_table, qp) if packed_table is not None
+              else make_scorer(state, qp, metric))
     ep, ep_score = descend(
         state, qp, metric, levels_cap, stop_layer=0, max_upper_iters=max_upper_iters,
-        limit_n=None,
+        limit_n=None, scorer=scorer,
     )
     seeds, seed_s = ep[:, None], ep_score[:, None]
     if seed_anchors > 0 and state.anchors.shape[0] > 0:
@@ -411,8 +442,8 @@ def _search_state_body(
         neg, top = jax.lax.top_k(-a_s, s_count)
         seeds = jnp.concatenate([seeds, jnp.take(state.a_rows, top)], axis=1)
         seed_s = jnp.concatenate([seed_s, -neg], axis=1)
-    beam_s, beam_r = beam_layer(
-        state, qp, seeds, seed_s, state.nbr0, ef, metric,
+    beam_s, beam_r = beam_layer_fn(
+        scorer, seeds, seed_s, state.nbr0, ef,
         expand=expand, max_iters=max_iters, use_degree=search_degree,
         dedupe_candidates=dedupe_candidates,
     )
@@ -478,6 +509,10 @@ class HNSW:
         self._lock = threading.RLock()
         self._dead: set[int] = set()           # tombstoned EXTERNAL ids
         self._dead_rows: Optional[jax.Array] = None  # [cap+1] bool by row
+        # derived packed [cap, D+1] search table (cfg.packed); rebuilt lazily
+        # whenever state.vectors is replaced (identity-checked in search())
+        self._packed_table: Optional[jax.Array] = None
+        self._packed_src: Optional[jax.Array] = None
         if capacity:
             self.state = init_state(self.capacity, cfg, self.levels_cap)
 
@@ -729,6 +764,15 @@ class HNSW:
                     blockj = jnp.pad(blockj, (0, cap1 - blockj.shape[0]),
                                      constant_values=True)  # trash row
                     dead = blockj if dead is None else (dead | blockj)
+                pt = None
+                if self.cfg.packed:
+                    if (self._packed_table is None
+                            or self._packed_src is not self.state.vectors):
+                        self._packed_table = jnp.concatenate(
+                            [self.state.vectors, self.state.norms[:, None]],
+                            axis=1)
+                        self._packed_src = self.state.vectors
+                    pt = self._packed_table
                 s, i, _ = search_state(
                     self.state, q, k, self.cfg.metric, ef,
                     expand=sc.expand,
@@ -741,6 +785,7 @@ class HNSW:
                     dedupe_candidates=sc.dedupe_candidates,
                     seed_anchors=sc.seed_anchors,
                     dead=dead,
+                    packed_table=pt,
                 )
             if squeeze:
                 return s[0], i[0]

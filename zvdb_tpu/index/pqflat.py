@@ -214,7 +214,8 @@ def _pq_search(
         s1, i1 = pq_scan_topk(
             lut, state.codes, state.norms, kk, l_bins=cfg.l_bins,
             bq_tile=cfg.pallas_bq, chunk=cfg.pallas_chunk, metric=metric,
-            precision=cfg.scan_precision, interpret=interpret)
+            precision=cfg.scan_precision, per_bin=cfg.per_bin,
+            interpret=interpret)
     else:
         s1, i1 = _pq_scan(state, qr, kk, metric, cfg.tile_n, approx,
                           cfg.recall_target, cfg.precision,

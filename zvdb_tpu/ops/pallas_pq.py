@@ -49,7 +49,7 @@ _NEG1 = -1
 
 def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
                out_s_ref, out_i_ref, best_s, best_i, *,
-               l_bins: int, metric: str, precision: str):
+               l_bins: int, metric: str, precision: str, per_bin: int):
     bq = lut_ref.shape[0]
     sc = lut_ref.shape[1]          # n_sub * 16
     chunk = codes_ref.shape[1]
@@ -59,8 +59,8 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
 
     @pl.when(j == 0)
     def _():
-        best_s[:] = jnp.full((bq, l_bins), jnp.inf, jnp.float32)
-        best_i[:] = jnp.full((bq, l_bins), _NEG1, jnp.int32)
+        best_s[:] = jnp.full((bq, per_bin * l_bins), jnp.inf, jnp.float32)
+        best_i[:] = jnp.full((bq, per_bin * l_bins), _NEG1, jnp.int32)
 
     # --- one-hot decode in VMEM -------------------------------------------
     # tile-repeat the nb packed-byte rows 32x: result row r*nb + b is byte
@@ -93,16 +93,40 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
     # --- bin fold (identical scheme to pallas_topk._scan_kernel) ----------
     base = j * chunk
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, l_bins), 1)
-    cur_s = best_s[:]
-    cur_i = best_i[:]
-    for m in range(chunk // l_bins):
-        sm = s[:, m * l_bins:(m + 1) * l_bins]
-        im = base + m * l_bins + col
-        take = sm < cur_s
-        cur_s = jnp.where(take, sm, cur_s)
-        cur_i = jnp.where(take, im, cur_i)
-    best_s[:] = cur_s
-    best_i[:] = cur_i
+    if per_bin == 1:
+        cur_s = best_s[:]
+        cur_i = best_i[:]
+        for m in range(chunk // l_bins):
+            sm = s[:, m * l_bins:(m + 1) * l_bins]
+            im = base + m * l_bins + col
+            take = sm < cur_s
+            cur_s = jnp.where(take, sm, cur_s)
+            cur_i = jnp.where(take, im, cur_i)
+        best_s[:] = cur_s
+        best_i[:] = cur_i
+    else:
+        # per-bin TOP-2: two insertion registers per bin. A true neighbor is
+        # lost only when >= 2 spuriously-better rows share its bin — squares
+        # the per-bin competition loss that capped top-1 selection recall at
+        # 0.9135 (1M x 128d, 4-bit ns32, measured round 4: rerank 16 and 32
+        # gave IDENTICAL recall because the pool itself was bin-limited).
+        s1 = best_s[:, :l_bins]
+        s2 = best_s[:, l_bins:]
+        i1 = best_i[:, :l_bins]
+        i2 = best_i[:, l_bins:]
+        for m in range(chunk // l_bins):
+            sm = s[:, m * l_bins:(m + 1) * l_bins]
+            im = base + m * l_bins + col
+            take1 = sm < s1
+            take2 = jnp.logical_and(jnp.logical_not(take1), sm < s2)
+            s2 = jnp.where(take1, s1, jnp.where(take2, sm, s2))
+            i2 = jnp.where(take1, i1, jnp.where(take2, im, i2))
+            s1 = jnp.where(take1, sm, s1)
+            i1 = jnp.where(take1, im, i1)
+        best_s[:, :l_bins] = s1
+        best_s[:, l_bins:] = s2
+        best_i[:, :l_bins] = i1
+        best_i[:, l_bins:] = i2
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -136,7 +160,7 @@ def permute_lut(lut: jax.Array, n_sub: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("l_bins", "bq_tile", "chunk", "metric", "precision",
-                     "interpret"),
+                     "per_bin", "interpret"),
 )
 def pq_scan_bins(
     lut: jax.Array,          # [B, S, 16] f32 ADC table (adc_lut, rotated qs)
@@ -147,14 +171,19 @@ def pq_scan_bins(
     chunk: int = 1024,
     metric: str = "l2",
     precision: str = "default",
+    per_bin: int = 1,
     interpret: bool = False,
 ):
-    """Fold the PQ-coded corpus into [B, l_bins] per-query bin minima.
+    """Fold the PQ-coded corpus into [B, per_bin*l_bins] per-query bin minima.
 
-    Returns (bin_scores [B, L] f32 surrogates, bin_ids [B, L] int32, -1 where
-    a bin never saw a valid row). Surrogate convention matches the engines:
-    l2 = ||xhat||^2 - 2 q.xhat (query norm not added), dot/cosine = -q.xhat.
+    Returns (bin_scores [B, per_bin*L] f32 surrogates, bin_ids int32, -1
+    where a bin never saw a valid row). per_bin=2 keeps the two best rows of
+    each bin (columns [L:] hold the runners-up) — the selection-recall lever
+    when the rerank pool, not the quantizer, is the bottleneck. Surrogate
+    convention matches the engines: l2 = ||xhat||^2 - 2 q.xhat (query norm
+    not added), dot/cosine = -q.xhat.
     """
+    assert per_bin in (1, 2)
     b, n_sub, c16 = lut.shape
     assert c16 == 16, "pallas PQ scan requires n_codes <= 16 (nibble codes)"
     nb, n = codes_t.shape
@@ -178,7 +207,9 @@ def pq_scan_bins(
     n_chunks = codes_p.shape[1] // chunk
 
     kernel = functools.partial(
-        _pq_kernel, l_bins=l_bins, metric=metric, precision=precision)
+        _pq_kernel, l_bins=l_bins, metric=metric, precision=precision,
+        per_bin=per_bin)
+    lw = per_bin * l_bins
     grid = (n_q_tiles, n_chunks)           # chunk innermost: scratch accumulates
     bin_s, bin_i = pl.pallas_call(
         kernel,
@@ -196,18 +227,18 @@ def pq_scan_bins(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bq, l_bins), lambda i, j: (i, 0),
+            pl.BlockSpec((bq, lw), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, l_bins), lambda i, j: (i, 0),
+            pl.BlockSpec((bq, lw), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((lut_p.shape[0], l_bins), jnp.float32),
-            jax.ShapeDtypeStruct((lut_p.shape[0], l_bins), jnp.int32),
+            jax.ShapeDtypeStruct((lut_p.shape[0], lw), jnp.float32),
+            jax.ShapeDtypeStruct((lut_p.shape[0], lw), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, l_bins), jnp.float32),
-            pltpu.VMEM((bq, l_bins), jnp.int32),
+            pltpu.VMEM((bq, lw), jnp.float32),
+            pltpu.VMEM((bq, lw), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * codes_p.shape[1] * sc,
@@ -229,20 +260,30 @@ def pq_scan_topk(
     chunk: int = 1024,
     metric: str = "l2",
     precision: str = "default",
+    per_bin: int = 1,
     interpret: bool = False,
 ):
-    """Fused PQ top-k: bin fold + one tiny exact top_k over L.
+    """Fused PQ top-k: bin fold + one small exact selection over per_bin*L.
 
     Returns (surrogate scores [B, k], ids [B, k]); invalid slots +inf / -1.
     """
     bin_s, bin_i = pq_scan_bins(
         lut, codes_t, norms, l_bins=l_bins, bq_tile=bq_tile, chunk=chunk,
-        metric=metric, precision=precision, interpret=interpret)
-    kk = min(k, l_bins)
-    neg, p = jax.lax.top_k(-bin_s, kk)
-    ids = jnp.take_along_axis(bin_i, p, axis=-1)
-    scores = -neg
-    scores = jnp.where(ids >= 0, scores, jnp.inf)
+        metric=metric, precision=precision, per_bin=per_bin,
+        interpret=interpret)
+    width = per_bin * l_bins
+    kk = min(k, width)
+    if kk > 64:
+        # wide pools (rerank*k): lax.top_k degrades superlinearly in k while
+        # two lax.sort passes stay flat (ops/topk.py, round-2 measurement)
+        from . import topk as T
+
+        scores, ids = T.sort_smallest_k(bin_s, bin_i, kk)
+        scores = jnp.where(ids >= 0, scores, jnp.inf)
+    else:
+        neg, p = jax.lax.top_k(-bin_s, kk)
+        ids = jnp.take_along_axis(bin_i, p, axis=-1)
+        scores = jnp.where(ids >= 0, -neg, jnp.inf)
     if kk < k:
         scores = jnp.pad(scores, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
