@@ -151,15 +151,20 @@ def main():
     # precision "high" = 3-pass bf16 matmul: near-f32 accuracy (recall matches
     # "highest" to 3 decimals on this workload) at ~3x MXU rate. Plain bf16
     # ("default") craters recall on clustered data — do not use it for scoring.
-    flat = FlatIndex(
-        FlatConfig(dim=d, metric=metric, precision="high",
-                   recall_target=0.97, tile_n=131072),
-        capacity=n,
-    )
-    t0 = time.perf_counter()
-    flat.add(x)
-    jax.block_until_ready(flat.state)
-    flat_build_s = time.perf_counter() - t0
+    # Every build below is best-of-2 with both samples recorded
+    # (build_runs_pps): relay variance swung flat_1m 82k->38k pts/s between
+    # rounds on single-shot timings (VERDICT r3 item 6).
+    flat_cfg = FlatConfig(dim=d, metric=metric, precision="high",
+                          recall_target=0.97, tile_n=131072)
+    flat_build_s, flat_build_runs = float("inf"), []
+    for _ in range(2):
+        flat = FlatIndex(flat_cfg, capacity=n)
+        t0 = time.perf_counter()
+        flat.add(x)
+        jax.block_until_ready(flat.state)
+        dt = time.perf_counter() - t0
+        flat_build_runs.append(round(n / dt, 1))
+        flat_build_s = min(flat_build_s, dt)
     # one batch = one dispatch per pass: a 10k+1808-style remainder batch costs
     # an extra compile AND worse device utilization
     batch = nq
@@ -170,7 +175,8 @@ def main():
     flat_qps = timed_qps(lambda qq: flat.search(qq, k, approx=True), q, batch)
     log(f"flat: recall={flat_recall:.4f} qps={flat_qps:,.0f} build={n/flat_build_s:,.0f} pts/s")
     results["flat"] = dict(recall=flat_recall, qps=flat_qps,
-                           build_pps=n / flat_build_s)
+                           build_pps=n / flat_build_s,
+                           build_runs_pps=flat_build_runs)
 
     # ---- ivf --------------------------------------------------------------
     # kmeans_iters=4 / sample=65536: round-3 sweep measured equal-or-better
@@ -183,11 +189,15 @@ def main():
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        ivf = IVFIndex(ivf_cfg)
-        t0 = time.perf_counter()
-        ivf.build(x)
-        jax.block_until_ready(ivf.state)
-        ivf_build_s = time.perf_counter() - t0
+        ivf_build_s, ivf_host_runs = float("inf"), []
+        for _ in range(2):
+            ivf = IVFIndex(ivf_cfg)
+            t0 = time.perf_counter()
+            ivf.build(x)
+            jax.block_until_ready(ivf.state)
+            dt = time.perf_counter() - t0
+            ivf_host_runs.append(round(n / dt, 1))
+            ivf_build_s = min(ivf_build_s, dt)
         # device-resident corpus build (no relay upload — the
         # hardware-representative number: real v5e PCIe moves this corpus in
         # ~5 ms where the relay tunnel takes 1.15 s). Warm first: the
@@ -198,14 +208,15 @@ def main():
         warm.build(xd)
         jax.block_until_ready(warm.state)
         del warm
-        ivf_build_dev_s = float("inf")
+        ivf_build_dev_s, ivf_dev_runs = float("inf"), []
         for _ in range(2):
             ivf_dev = IVFIndex(ivf_cfg)
             t0 = time.perf_counter()
             ivf_dev.build(xd)
             jax.block_until_ready(ivf_dev.state)
-            ivf_build_dev_s = min(ivf_build_dev_s,
-                                  time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            ivf_dev_runs.append(round(n / dt, 1))
+            ivf_build_dev_s = min(ivf_build_dev_s, dt)
         del ivf_dev, xd
         best_ivf = None
         for npb in (2, 4, 8):
@@ -226,7 +237,9 @@ def main():
             f"(host-corpus {n/ivf_build_s:,.0f}) (nprobe={npb})")
         results["ivf"] = dict(recall=ivf_recall, qps=ivf_qps,
                               build_pps=n / ivf_build_dev_s,
-                              build_pps_hostcorpus=n / ivf_build_s, nprobe=npb)
+                              build_pps_hostcorpus=n / ivf_build_s, nprobe=npb,
+                              build_runs_pps=ivf_dev_runs,
+                              build_runs_pps_hostcorpus=ivf_host_runs)
     except Exception as e:  # keep headline alive if a secondary engine breaks
         log(f"ivf failed: {e!r}")
 
@@ -241,25 +254,28 @@ def main():
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        cagra_build_s = float("inf")       # best-of-2 (relay variance)
+        cagra_build_s, cagra_host_runs = float("inf"), []
         for _ in range(2):
             cagra = cagra_factory()
             t0 = time.perf_counter()
             cagra.build(x)
             jax.block_until_ready(cagra.state)
-            cagra_build_s = min(cagra_build_s, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            cagra_host_runs.append(round(n / dt, 1))
+            cagra_build_s = min(cagra_build_s, dt)
         # device-resident corpus build (the relay's 40 MB/s single-stream
         # upload is 1.15 s of the host build; real v5e PCIe would be ~5 ms)
         xd = jax.device_put(x)
         jax.block_until_ready(xd)
-        cagra_build_dev_s = float("inf")
+        cagra_build_dev_s, cagra_dev_runs = float("inf"), []
         for _ in range(2):
             cdev = cagra_factory()
             t0 = time.perf_counter()
             cdev.build(xd)
             jax.block_until_ready(cdev.state)
-            cagra_build_dev_s = min(cagra_build_dev_s,
-                                    time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            cagra_dev_runs.append(round(n / dt, 1))
+            cagra_build_dev_s = min(cagra_build_dev_s, dt)
         del cdev, xd
         cagra_ef, cagra_recall = None, 0.0
         for ef in (12, 16, 24, 32, 48, 64, 96):
@@ -280,7 +296,8 @@ def main():
         results["cagra"] = dict(recall=cagra_recall, qps=cagra_qps,
                                 build_pps=n / cagra_build_dev_s,
                                 build_pps_hostcorpus=n / cagra_build_s,
-                                ef=cagra_ef)
+                                ef=cagra_ef, build_runs_pps=cagra_dev_runs,
+                                build_runs_pps_hostcorpus=cagra_host_runs)
         del cagra
     except Exception as e:
         log(f"cagra failed: {e!r}")
@@ -295,25 +312,28 @@ def main():
         warm.build(x)                      # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        hnsw_build_s = float("inf")        # best-of-2 (relay variance)
+        hnsw_build_s, hnsw_host_runs = float("inf"), []
         for _ in range(2):
             hnsw = hnsw_factory()
             t0 = time.perf_counter()
             hnsw.build(x)
             jax.block_until_ready(hnsw.state)
-            hnsw_build_s = min(hnsw_build_s, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            hnsw_host_runs.append(round(n / dt, 1))
+            hnsw_build_s = min(hnsw_build_s, dt)
         # device-resident corpus build (oneshot path keeps device arrays
         # resident; the host number above includes the 1.15 s relay upload)
         xd = jax.device_put(x)
         jax.block_until_ready(xd)
-        hnsw_build_dev_s = float("inf")
+        hnsw_build_dev_s, hnsw_dev_runs = float("inf"), []
         for _ in range(2):
             hdev = hnsw_factory()
             t0 = time.perf_counter()
             hdev.build(xd)
             jax.block_until_ready(hdev.state)
-            hnsw_build_dev_s = min(hnsw_build_dev_s,
-                                   time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            hnsw_dev_runs.append(round(n / dt, 1))
+            hnsw_build_dev_s = min(hnsw_build_dev_s, dt)
         del hdev, xd
         hnsw_ef = None
         hnsw_recall = 0.0
@@ -336,7 +356,8 @@ def main():
         results["hnsw"] = dict(recall=hnsw_recall, qps=hnsw_qps,
                                build_pps=n / hnsw_build_dev_s,
                                build_pps_hostcorpus=n / hnsw_build_s,
-                               ef=hnsw_ef)
+                               ef=hnsw_ef, build_runs_pps=hnsw_dev_runs,
+                               build_runs_pps_hostcorpus=hnsw_host_runs)
     except Exception as e:
         log(f"hnsw failed: {e!r}")
 
@@ -365,15 +386,17 @@ def main():
             del oracle
         # two-pass: native-rate bf16 scan + exact f32 rerank — measured 205k
         # QPS @ 0.9988 vs 186k @ 0.9951 for the bf16x3 single-pass at 1M
-        fl1 = FlatIndex(
-            FlatConfig(dim=d, metric=metric, rerank=4,
-                       recall_target=0.97, tile_n=500_000),
-            capacity=n1,
-        )
-        t0 = time.perf_counter()
-        fl1.add(x1)
-        jax.block_until_ready(fl1.state)
-        b1 = time.perf_counter() - t0
+        fl1_cfg = FlatConfig(dim=d, metric=metric, rerank=4,
+                             recall_target=0.97, tile_n=500_000)
+        b1, fl1_runs = float("inf"), []
+        for _ in range(2):
+            fl1 = FlatIndex(fl1_cfg, capacity=n1)
+            t0 = time.perf_counter()
+            fl1.add(x1)
+            jax.block_until_ready(fl1.state)
+            dt = time.perf_counter() - t0
+            fl1_runs.append(round(n1 / dt, 1))
+            b1 = min(b1, dt)
         ids1 = np.concatenate([
             np.asarray(fl1.search(q1[lo:lo + 2048], k, approx=True)[1])
             for lo in range(0, nq, 2048)
@@ -381,7 +404,8 @@ def main():
         r1 = recall_at_k(ids1, gt1, k)
         qps1 = timed_qps(lambda qq: fl1.search(qq, k, approx=True), q1, 2048)
         log(f"flat 1M: recall={r1:.4f} qps={qps1:,.0f} build={n1/b1:,.0f} pts/s")
-        results["flat_1m"] = dict(recall=r1, qps=qps1, build_pps=n1 / b1)
+        results["flat_1m"] = dict(recall=r1, qps=qps1, build_pps=n1 / b1,
+                                   build_runs_pps=fl1_runs)
         del fl1
 
         # fused Pallas bf16-scan + exact rerank (round-3: 213-227k QPS @
@@ -429,11 +453,15 @@ def main():
         # through the relay's 40 MB/s upload; real v5e PCIe ~50 ms)
         xd1 = jax.device_put(x1)
         jax.block_until_ready(xd1)
-        cgd = cg1_factory()
-        t0 = time.perf_counter()
-        cgd.build(xd1)
-        jax.block_until_ready(cgd.state)
-        cb1_dev = time.perf_counter() - t0
+        cb1_dev, cg1_dev_runs = float("inf"), []
+        for _ in range(2):
+            cgd = cg1_factory()
+            t0 = time.perf_counter()
+            cgd.build(xd1)
+            jax.block_until_ready(cgd.state)
+            dt = time.perf_counter() - t0
+            cg1_dev_runs.append(round(n1 / dt, 1))
+            cb1_dev = min(cb1_dev, dt)
         del cgd, xd1
         idsg = np.concatenate([
             np.asarray(cg1.search(q1[lo:lo + 5000], k, ef_search=12)[1])
@@ -446,7 +474,8 @@ def main():
             f"build={n1/cb1_dev:,.0f} pts/s device-resident "
             f"(host-corpus {n1/cb1:,.0f})")
         results["cagra_1m"] = dict(recall=rg, qps=qpsg, build_pps=n1 / cb1_dev,
-                                   build_pps_hostcorpus=n1 / cb1, ef=12)
+                                   build_pps_hostcorpus=n1 / cb1, ef=12,
+                                   build_runs_pps=cg1_dev_runs)
         del cg1, x1
     except Exception as e:
         log(f"1M config failed: {e!r}")
@@ -487,13 +516,15 @@ def main():
         warm.build(xd1)                    # pays the one-off compiles
         jax.block_until_ready(warm.state)
         del warm
-        pq_build_dev_s = float("inf")
+        pq_build_dev_s, pq_runs = float("inf"), []
         for _ in range(2):
             pqi = PQFlatIndex(pq_cfg)
             t0 = time.perf_counter()
             pqi.build(xd1)
             jax.block_until_ready(pqi.state)
-            pq_build_dev_s = min(pq_build_dev_s, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            pq_runs.append(round(n1 / dt, 1))
+            pq_build_dev_s = min(pq_build_dev_s, dt)
         del xd1
         idsq = np.concatenate([
             np.asarray(pqi.search(q1[lo:lo + 2048], k)[1])
@@ -506,7 +537,8 @@ def main():
             f"(codes+refine {(16 + 4 + d + 4) * n1 / 2**30:.2f} GB vs "
             f"{4 * d * n1 / 2**30:.1f} GB f32)")
         results["pq_1m"] = dict(recall=rq_, qps=qpsq,
-                                build_pps=n1 / pq_build_dev_s)
+                                build_pps=n1 / pq_build_dev_s,
+                                build_runs_pps=pq_runs)
         del pqi, x1
     except Exception as e:
         log(f"pq 1M failed: {e!r}")

@@ -76,9 +76,14 @@ def init_state(capacity: int, cfg: PQConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "refine", "packed"))
+@functools.partial(jax.jit, static_argnames=("metric", "refine", "packed"),
+                   donate_argnums=(0,))
 def _ingest(state: PQState, x: jax.Array, metric: str, refine: str,
             packed: bool) -> PQState:
+    # state is DONATED: the caller always rebinds (self.state = _ingest(...)),
+    # and without donation a chunked 100M ingest would hold two copies of the
+    # multi-GB codes+refine stores per add (XLA updates buffers in place when
+    # donated — the HBM-discipline lever for the scale builds).
     xf = D.preprocess_queries(x, metric)   # f32 (+ normalize for cosine)
     # codes quantize the ROTATED rows under OPQ (rotation preserves l2/dot
     # scores, so the scan stays consistent with rotated queries); the refine
@@ -494,8 +499,14 @@ class PQFlatIndex:
         # (rot is orthogonal, so rot.T is its inverse)
         return np.asarray(PQ.apply_rotation(dec, self.state.rot.T))
 
-    def search(self, q, k: int, approx: bool = True, allowed=None):
+    def search(self, q, k: int, approx: bool = True, allowed=None,
+               rerank: int | None = None):
         """Top-k. q: [B, D] or [D]. Returns (scores [B,k], ids [B,k]).
+
+        rerank: per-call override of cfg.rerank (refine-pool depth = k *
+        rerank) — the recall/QPS knob, same per-call-override convention as
+        the graph engines' ef_search/search_degree. Each distinct value is
+        its own compiled program.
 
         approx=True (default): hardware partial-reduce top-k in the scan
         pass. approx=False: full-sort selection over the PQ scores — both
@@ -530,8 +541,13 @@ class PQFlatIndex:
             s = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
             i = jnp.full((q.shape[0], k), -1, jnp.int32)
         else:
+            cfg = self.cfg
+            if rerank is not None and rerank != cfg.rerank:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, rerank=rerank)
             s, i = _pq_search(
-                state, q, k, self.cfg, approx,
+                state, q, k, cfg, approx,
                 interpret=jax.default_backend() != "tpu",
             )
         if squeeze:
