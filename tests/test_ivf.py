@@ -180,3 +180,63 @@ def test_pair_scan_int8_residual_rerank_small_batch():
     idx.build(x)
     _, ids = idx.search(x[:8], 1)     # b=8, p=8 -> c*8=512 > 64 -> pair mode
     assert (np.asarray(ids)[:, 0] == np.arange(8)).mean() >= 0.99
+
+
+def test_ivf_search_range_matches_oracle():
+    """IVF range query (mirrors tests/test_flat.py's range block): EXACT
+    counts and the max_results globally-best ids despite the probe
+    structure — the scan deliberately bypasses probes (a radius cannot be
+    probe-bounded) and runs flat over the grouped blocks. Covers deletes,
+    dot metric, truncation, the int8-residual routing through the rerank
+    shadow store, and the no-shadow int8 error."""
+    rng = np.random.default_rng(5)
+    n, d = 3000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:32] + 0.01
+    idx = IVFIndex(IVFConfig(dim=d, n_clusters=16, nprobe=2))
+    idx.build(x)
+    r = 2.0
+    s, i, c = (np.asarray(v) for v in idx.search_range(q, r, max_results=64))
+    d2 = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(c, (d2 <= r).sum(1))
+    for b in range(32):
+        got = set(i[b][i[b] >= 0])
+        inr = np.nonzero(d2[b] <= r)[0]
+        want = set(inr[np.argsort(d2[b][inr])][:64])
+        assert got == want
+    assert (s[i >= 0] <= r).all()
+    # removed rows leave both the results and the counts
+    idx.remove([0, 1])
+    s2, i2, c2 = (np.asarray(v)
+                  for v in idx.search_range(q, r, max_results=64))
+    d2m = d2.copy()
+    d2m[:, [0, 1]] = np.inf
+    np.testing.assert_array_equal(c2, (d2m <= r).sum(1))
+    assert not np.isin(i2.ravel(), [0, 1]).any()
+    # truncation: tiny max_results still reports exact counts
+    _, it, ct = idx.search_range(q, r, max_results=4)
+    np.testing.assert_array_equal(np.asarray(ct), c2)
+    assert ((np.asarray(it) >= 0).sum(1) <= 4).all()
+    # dot metric: radius is a similarity floor
+    idxd = IVFIndex(IVFConfig(dim=d, metric="dot", n_clusters=16))
+    idxd.build(x)
+    _, _, cd = idxd.search_range(q, 5.0, max_results=64)
+    np.testing.assert_array_equal(np.asarray(cd), (q @ x.T >= 5.0).sum(1))
+    # int8 residual blocks: exact through the rerank shadow store
+    idx8 = IVFIndex(IVFConfig(dim=d, n_clusters=16, dtype="int8", rerank=4))
+    idx8.build(x)
+    idx8.remove([0, 1])
+    s8, i8, c8 = (np.asarray(v)
+                  for v in idx8.search_range(q, r, max_results=64))
+    np.testing.assert_array_equal(c8, c2)
+    for b in range(32):
+        assert set(i8[b][i8[b] >= 0]) == set(i2[b][i2[b] >= 0])
+    # int8 WITHOUT a shadow store cannot answer exactly -> explicit error
+    idx8n = IVFIndex(IVFConfig(dim=d, n_clusters=16, dtype="int8", rerank=0))
+    idx8n.build(x)
+    with pytest.raises(ValueError):
+        idx8n.search_range(q, r)
+    # empty index contract
+    e = IVFIndex(IVFConfig(dim=d))
+    se, ie, ce = e.search_range(q, r)
+    assert (np.asarray(ie) == -1).all() and (np.asarray(ce) == 0).all()

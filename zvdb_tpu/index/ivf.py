@@ -601,6 +601,68 @@ ivf_search = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "max_results", "precision", "tile"))
+def _ivf_range(cb: jax.Array, bn: jax.Array, bi: jax.Array, bs: jax.Array,
+               q: jax.Array, radius: jax.Array,
+               metric: str, max_results: int, precision: str = "float32",
+               tile: int = 65536):
+    """Exact range query over a flat (rows, norms, ids, scales) view.
+
+    For float-dtype IVF the [C, Bcap, D] blocks are one contiguous (padded,
+    permuted) copy of the corpus, so the exact scan is a reshape away —
+    tiles of `tile` rows, lax.scan-accumulated (counts, running top-R).
+    Padding / deleted rows carry ids < 0 or norm +inf and never count.
+    Returns user-facing (scores [B, R], ids [B, R], counts [B])."""
+    d = cb.shape[-1]
+    rows = cb.shape[0]
+    tile = min(tile, rows)
+    pad = -(-rows // tile) * tile - rows
+    if pad:
+        cb = jnp.pad(cb, ((0, pad), (0, 0)))
+        bn = jnp.pad(bn, (0, pad), constant_values=INF)
+        bi = jnp.pad(bi, (0, pad), constant_values=-1)
+        bs = jnp.pad(bs, (0, pad), constant_values=1.0)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "float32": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    qp = D.preprocess_queries(q, metric)
+    b = qp.shape[0]
+    is_l2 = metric == "l2"
+    n_tiles = cb.shape[0] // tile
+    cbt = cb.reshape(n_tiles, tile, d)
+    bnt = bn.reshape(n_tiles, tile)
+    bit = bi.reshape(n_tiles, tile)
+    bst = bs.reshape(n_tiles, tile)
+
+    def step(carry, xs):
+        run_s, run_i, counts = carry
+        v, nrm, ids, sc = xs
+        s = D.pairwise_scores(qp, v, nrm, metric, precision=prec,
+                              x_scales=sc)
+        s = jnp.where(ids[None, :] >= 0, s, INF)
+        user = D.finalize_scores(s, qp, metric)
+        in_r = jnp.isfinite(s) & ((user <= radius) if is_l2
+                                  else (user >= radius))
+        counts = counts + jnp.sum(in_r, axis=-1).astype(jnp.int32)
+        ts, ti = T.smallest_k(s, jnp.broadcast_to(ids[None, :], s.shape),
+                              min(max_results, tile))
+        run_s, run_i = T.merge_topk(run_s, run_i, ts, ti, max_results)
+        return (run_s, run_i, counts), None
+
+    init = (jnp.full((b, max_results), INF, jnp.float32),
+            jnp.full((b, max_results), -1, jnp.int32),
+            jnp.zeros((b,), jnp.int32))
+    (run_s, run_i, counts), _ = jax.lax.scan(
+        step, init, (cbt, bnt, bit, bst))
+    user = D.finalize_scores(run_s, qp, metric)
+    in_r = (run_i >= 0) & ((user <= radius) if is_l2 else (user >= radius))
+    run_i = jnp.where(in_r, run_i, -1)
+    user = jnp.where(in_r, user, INF if is_l2 else -INF)
+    return user, run_i, counts
+
+
 # ---------------------------------------------------------------------------
 # incremental append (device)
 
@@ -1161,6 +1223,67 @@ class IVFIndex:
             if squeeze:
                 return s[0], i[0]
             return s, i
+
+    def search_range(self, q, radius: float, max_results: int = 128):
+        """All neighbors within `radius` — EXACT, same contract as
+        FlatIndex.search_range (squared-L2 <= radius for l2, similarity >=
+        radius otherwise; returns (scores [B, R], ids [B, R], counts [B]),
+        counts exact, rows hold the R best when truncated, invalid id -1).
+
+        Range counts must be exact to be useful, and probes cannot bound a
+        radius, so this deliberately bypasses the probe structure and scans
+        the grouped block storage flat — the cost of one exact flat-scan
+        pass over capacity (incl. block padding), NOT an nprobe-scaled cost.
+        Deleted rows (negative-encoded b_ids) and padding are masked out.
+        `radius` is traced: one compiled program serves every radius."""
+        with self._lock:
+            self._flush_locked()
+            q = jnp.asarray(q, jnp.float32)
+            squeeze = q.ndim == 1
+            if squeeze:
+                q = q[None, :]
+            if q.shape[-1] != self.cfg.dim:
+                raise ValueError(
+                    f"dimension mismatch: index dim {self.cfg.dim}, "
+                    f"got {q.shape[-1]}")
+            if self.state is None:
+                s = jnp.full((q.shape[0], max_results),
+                             INF if self.cfg.metric == "l2" else -INF)
+                i = jnp.full((q.shape[0], max_results), -1, jnp.int32)
+                c = jnp.zeros((q.shape[0],), jnp.int32)
+            else:
+                st = self.state
+                dm = self.cfg.dim
+                if self.cfg.dtype != "int8":
+                    # float blocks ARE the (permuted, padded) corpus
+                    cb = st.blocks.reshape(-1, dm)
+                    bn, bi = st.b_norms.reshape(-1), st.b_ids.reshape(-1)
+                    bs = st.b_scales.reshape(-1)
+                elif st.rerank_vecs.shape[-1] == dm and \
+                        st.rerank_vecs.shape[0] > 1:
+                    # int8 blocks hold RESIDUAL codes — scan the exact
+                    # rerank shadow store (ext-id order) instead; deleted
+                    # ids are masked from the host tombstone set
+                    nr = st.rerank_vecs.shape[0]
+                    cb, bn = st.rerank_vecs, st.rerank_norms
+                    bi = jnp.arange(nr, dtype=jnp.int32)
+                    bi = jnp.where(bn < INF, bi, -1)
+                    if self._dead:
+                        dead = np.fromiter(self._dead, np.int64,
+                                           len(self._dead))
+                        bi = bi.at[jnp.asarray(dead)].set(-1)
+                    bs = jnp.ones((nr,), jnp.float32)
+                else:
+                    raise ValueError(
+                        "search_range on an int8 IVF index requires the "
+                        "rerank shadow store (IVFConfig(rerank=...)): the "
+                        "blocks hold residual codes, not corpus rows")
+                s, i, c = _ivf_range(
+                    cb, bn, bi, bs, q, jnp.asarray(radius, jnp.float32),
+                    self.cfg.metric, max_results, self.cfg.precision)
+            if squeeze:
+                return s[0], i[0], c[0]
+            return s, i, c
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
