@@ -334,6 +334,32 @@ def test_pq4_packed_surface(data, tmp_path):
     assert (np.asarray(i) < len(old)).all()
 
 
+def test_pallas_pq_int8_precision_close(data):
+    """scan_precision='int8' (int8 MXU path): bin scores within the
+    documented ~2% LUT-quantization envelope of the high-precision fold,
+    same bins surviving."""
+    import jax.numpy as jnp
+    from zvdb_tpu.ops import pq as PQ
+    from zvdb_tpu.ops.pallas_pq import pq_scan_bins
+
+    x, q = data
+    idx = PQFlatIndex(_pq4(refine="none"))
+    idx.build(x)
+    st = idx.state
+    qs = q[:16].astype(np.float32)
+    lut = PQ.adc_lut(jnp.asarray(qs), st.codebooks)
+    kw = dict(l_bins=128, chunk=512, per_bin=1, interpret=True)
+    sh, ih = map(np.asarray, pq_scan_bins(
+        lut, st.codes, st.norms, precision="high", **kw))
+    si, ii = map(np.asarray, pq_scan_bins(
+        lut, st.codes, st.norms, precision="int8", **kw))
+    env = 0.04 * np.abs(np.asarray(lut)).max(axis=(1, 2))[:, None] + 1e-3
+    ok = np.abs(si - sh) <= env
+    assert ok.mean() > 0.98, ok.mean()
+    # a large majority of bins pick the same winner (ties may flip)
+    assert (ii == ih).mean() > 0.85, (ii == ih).mean()
+
+
 def test_pallas_pq_per_bin2_exact(data):
     """per_bin=2 bin fold: for every bin, the kernel's two kept rows are
     exactly the two smallest decoded ADC scores among the rows mapping to

@@ -85,6 +85,20 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
         l_hi = lut.astype(jnp.bfloat16)
         l_lo = (lut - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dots = dot(l_hi, oh) + dot(l_lo, oh)             # [bq, chunk]
+    elif precision == "int8":
+        # int8 MXU path (2x the bf16 rate on v5e): per-query symmetric LUT
+        # quantization — scale = max|lut_q| / 127. Worst-case per-term error
+        # scale/2 sums to ~1.6% of max|lut| rms over 32 subspaces; the PQ
+        # quantization error is larger and the refine rerank repairs both.
+        lut = lut_ref[:]
+        scale = jnp.max(jnp.abs(lut), axis=1, keepdims=True) / 127.0
+        lut_i = jnp.round(lut / scale).astype(jnp.int8)
+        oh_i = oh.astype(jnp.int8)
+        dots_i = jax.lax.dot_general(
+            lut_i, oh_i, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dots = dots_i.astype(jnp.float32) * scale
     else:
         dots = dot(lut_ref[:].astype(jnp.bfloat16), oh)
     factor = 2.0 if metric == "l2" else 1.0
