@@ -437,9 +437,12 @@ def main():
         from zvdb_tpu import CagraConfig, CagraIndex
 
         def cg1_factory():
+            # ef=12 sd=24 mi=4 @ anchors=262144: the round-4 frontier point
+            # (0.9925 @ 91.3k at B=2048 / ~113k at this B=5000 protocol;
+            # sd=16 was 0.9820 @ 105.7k — see PERF.md round-4 frontier)
             return CagraIndex(CagraConfig(
                 dim=d, degree=32, metric=metric, n_anchors=262144,
-                search_degree=16, max_iters=4, ef_search=12))
+                search_degree=24, max_iters=4, ef_search=12))
 
         cg1 = cg1_factory()          # pays the one-off 1M-shape compiles
         cg1.build(x1)
