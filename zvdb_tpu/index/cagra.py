@@ -739,18 +739,26 @@ class CagraIndex:
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
-               max_iters: Optional[int] = None, allowed=None):
+               max_iters: Optional[int] = None, allowed=None,
+               filter_mode: str = "scan"):
         """kNN search. q [D] or [B, D] -> (scores, ids) [B, k] ([k] squeezed).
         Invalid slots: id -1 (reference returns < k results when n < k).
         ef_search / search_degree / max_iters override the config per call
         (search-time-only knobs — the graph is unchanged; each distinct
         combination is its own compiled program).
-        allowed: optional allowlist (bool mask over ids, or int id array) —
-        filtered search via the tombstone plumbing: non-matching nodes keep
-        routing the beam and are filtered from the final ef-wide beam. For
-        very selective filters raise ef_search (the beam must hold enough
-        matching candidates) or use the flat engine (exact at any
-        selectivity)."""
+        allowed: optional allowlist (bool mask over ids, or int id array).
+        filter_mode governs how it executes:
+          "scan" (default) — EXACT masked brute-force scan over the stored
+            rows (flat.masked_exact_search). Measured round 4: the beam
+            path collapses on selective filters (0.358 recall @ 83 QPS at
+            1% selectivity even at ef=1200) while the masked scan is exact
+            and FASTER at every selectivity tried (1%-50%, 100k-1M).
+          "beam" — the graph beam with non-matching nodes routing but
+            filtered from the final ef-wide beam; raise ef_search for
+            selective filters. Only competitive when the filter is nearly
+            all-pass."""
+        if filter_mode not in ("scan", "beam"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -765,6 +773,22 @@ class CagraIndex:
             if self.state is None or int(self.state.n) == 0:
                 s = jnp.full((q.shape[0], k), INF if cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
+            elif allowed is not None and filter_mode == "scan":
+                from ..utils.masks import allowed_mask
+                from .flat import masked_exact_search
+
+                st = self.state
+                cap = st.vectors.shape[0]
+                block = ~allowed_mask(allowed, int(st.n), cap)
+                arrs = self._search_arrays()
+                if arrs.dead is not None:
+                    block = block | arrs.dead
+                bias = jnp.where(block, INF, 0.0)
+                s, i = masked_exact_search(
+                    st.vectors, st.norms + bias,
+                    jnp.broadcast_to(st.q_scale, (cap,)), q, k, cfg.metric,
+                    precision=("high" if cfg.precision == "default"
+                               else cfg.precision))
             else:
                 arrs = self._search_arrays()
                 if allowed is not None:

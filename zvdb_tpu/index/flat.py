@@ -661,6 +661,28 @@ class FlatIndex:
         return s, i, c
 
 
+def masked_exact_search(vectors, norms_bias, scales, q, k: int, metric: str,
+                        tile_n: int = 131072, precision: str = "high",
+                        approx: bool = True, recall_target: float = 0.97):
+    """Exact-scoring top-k over an arbitrary (vectors, norms+validity-bias,
+    scales) view — the shared masked-scan fallback the graph/IVF engines
+    route FILTERED search through. norms_bias carries +inf for every
+    blocked/dead/padding row (the all-metric validity-bias convention).
+
+    Measured (round 4, 100k-1M x 128d, one v5e chip): beam-filtered graph
+    search collapses at selective filters — 0.358 recall @ 83 QPS at 1%
+    selectivity on CAGRA even at ef=1200, IVF 0.256 @ 8.9k with 8x probe
+    widening — while this masked scan is EXACT at 88-186k QPS at every
+    selectivity, and faster than the beam path even at 50%. See
+    docs/PERF.md round-4 filtered-search section."""
+    st = FlatState(vectors=vectors, norms=norms_bias, scales=scales,
+                   n=jnp.asarray(vectors.shape[0], jnp.int32))
+    # graph-engine configs say "float32" where the flat scan says "highest"
+    precision = {"float32": "highest"}.get(precision, precision)
+    return _search(st, q, k, metric, tile_n, approx=approx,
+                   recall_target=recall_target, precision=precision)
+
+
 def exact_ground_truth(corpus, queries, k: int, metric: str = "l2", tile_n: int = 65536):
     """One-shot exact kNN for recall evaluation. Returns numpy (scores, ids)."""
     corpus = jnp.asarray(corpus)

@@ -713,7 +713,8 @@ class HNSW:
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
-               max_iters: Optional[int] = None, allowed=None):
+               max_iters: Optional[int] = None, allowed=None,
+               filter_mode: str = "scan"):
         """kNN search. q: [D] or [B, D]. Returns (scores, ids) with shape [B, k]
         ([k] for a single query). Trailing invalid slots have id -1 (the
         reference returns fewer-than-k results when n < k,
@@ -722,9 +723,14 @@ class HNSW:
         (search-time-only knobs; each distinct combination is its own
         compiled program).
         allowed: optional allowlist over EXTERNAL ids (bool mask or int id
-        array) — filtered search; non-matching nodes keep routing the beam
-        and are filtered from the final ef-wide beam (raise ef_search for
-        very selective filters)."""
+        array). filter_mode "scan" (default) answers the filtered query with
+        an EXACT masked brute-force scan of the stored rows — measured
+        round 4, the beam path loses recall catastrophically at <=10%
+        selectivity (docs/PERF.md) while the scan is exact and faster at
+        every selectivity. "beam": non-matching nodes keep routing the beam
+        and are filtered from the final ef-wide beam (raise ef_search)."""
+        if filter_mode not in ("scan", "beam"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -740,6 +746,26 @@ class HNSW:
             if self.state is None or int(self.state.n) == 0:
                 s = jnp.full((q.shape[0], k), INF if self.cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
+            elif allowed is not None and filter_mode == "scan":
+                from ..utils.masks import allowed_mask
+                from .flat import masked_exact_search
+
+                st = self.state
+                cap = st.vectors.shape[0]
+                av = allowed_mask(allowed, self._n_inserted, self._n_inserted)
+                ext = st.ext_ids
+                ok = jnp.take(av, jnp.maximum(ext, 0)) & (ext >= 0)
+                if self._dead_rows is not None:
+                    ok = ok & ~self._dead_rows[:cap]
+                bias = jnp.where(ok, 0.0, INF)
+                s, rows = masked_exact_search(
+                    st.vectors, st.norms + bias,
+                    jnp.broadcast_to(st.q_scale, (cap,)), q, k,
+                    self.cfg.metric,
+                    precision=("high" if self.cfg.precision == "default"
+                               else self.cfg.precision))
+                i = jnp.where(rows >= 0,
+                              jnp.take(ext, jnp.maximum(rows, 0)), -1)
             else:
                 dead = None
                 if self._dead:

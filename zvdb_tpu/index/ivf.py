@@ -1186,11 +1186,19 @@ class IVFIndex:
             return self._reconstruct_all()[ids]
 
     # -- search -----------------------------------------------------------
-    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None):
-        """allowed: optional allowlist (bool mask over ids or int id array) —
-        filtered search on the probe candidate pool (P*kk wide). For very
-        selective filters raise nprobe (candidates must survive the filter)
-        or use the flat engine (exact at any selectivity)."""
+    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None,
+               filter_mode: str = "scan"):
+        """allowed: optional allowlist (bool mask over ids or int id array).
+        filter_mode "scan" (default): EXACT masked brute-force scan — float
+        blocks are one contiguous corpus copy, int8-residual indexes scan
+        the exact rerank shadow store (built with IVFConfig(rerank>0));
+        int8 WITHOUT a shadow store falls back to "probe". Measured round 4
+        (docs/PERF.md): the probe path at 8x widening still lost to 0.256
+        recall at 1% selectivity while the scan is exact at flat-scan cost.
+        filter_mode "probe": filter on the probe candidate pool (P*kk wide,
+        widened 8x) — raise nprobe for selective filters."""
+        if filter_mode not in ("scan", "probe"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
             q = jnp.asarray(q, jnp.float32)
@@ -1201,9 +1209,51 @@ class IVFIndex:
                 raise ValueError(
                     f"dimension mismatch: index dim {self.cfg.dim}, got {q.shape[-1]}"
                 )
+            scan_ok = self.cfg.dtype != "int8" or (
+                self.state is not None
+                and self.state.rerank_vecs.shape[-1] == self.cfg.dim
+                and self.state.rerank_vecs.shape[0] > 1)
             if self.state is None:
                 s = jnp.full((q.shape[0], k), INF if self.cfg.metric == "l2" else -INF)
                 i = jnp.full((q.shape[0], k), -1, jnp.int32)
+            elif allowed is not None and filter_mode == "scan" and scan_ok:
+                from ..utils.masks import allowed_mask
+                from .flat import masked_exact_search
+
+                st = self.state
+                dm = self.cfg.dim
+                av = allowed_mask(allowed, self._n_inserted,
+                                  max(self._n_inserted, 1))
+                if self.cfg.dtype != "int8":
+                    cb = st.blocks.reshape(-1, dm)
+                    bi = st.b_ids.reshape(-1)
+                    ok = (bi >= 0) & jnp.take(av, jnp.maximum(bi, 0))
+                    bias = jnp.where(ok, 0.0, INF)
+                    s, pos = masked_exact_search(
+                        cb, st.b_norms.reshape(-1) + bias,
+                        st.b_scales.reshape(-1), q, k, self.cfg.metric,
+                        precision=("high" if self.cfg.precision == "default"
+                                   else self.cfg.precision))
+                    i = jnp.where(pos >= 0,
+                                  jnp.take(bi, jnp.maximum(pos, 0)), -1)
+                else:
+                    # residual codes cannot be scanned exactly — use the
+                    # exact rerank shadow store (ext-id order)
+                    nr = st.rerank_vecs.shape[0]
+                    ok = jnp.take(jnp.pad(av, (0, max(0, nr - av.shape[0])),
+                                          constant_values=False),
+                                  jnp.arange(nr))
+                    ok = ok & (st.rerank_norms < INF)
+                    if self._dead:
+                        dead = np.fromiter(self._dead, np.int64,
+                                           len(self._dead))
+                        ok = ok.at[jnp.asarray(dead)].set(False)
+                    bias = jnp.where(ok, 0.0, INF)
+                    s, i = masked_exact_search(
+                        st.rerank_vecs, st.rerank_norms + bias,
+                        jnp.ones((nr,), jnp.float32), q, k, self.cfg.metric,
+                        precision=("high" if self.cfg.precision == "default"
+                                   else self.cfg.precision))
             else:
                 allow_j = None
                 if allowed is not None:

@@ -507,14 +507,42 @@ class ShardedHNSW:
         return run
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
-               allowed=None):
-        """allowed: optional allowlist over global ids — filtered search via
-        the tombstone mask path (raise ef_search for selective filters)."""
+               allowed=None, filter_mode: str = "scan"):
+        """allowed: optional allowlist over global ids. filter_mode "scan"
+        (default) answers filtered queries with the EXACT per-shard masked
+        scan + global merge (parallel/scan_filter.py — the round-4 measured
+        policy: the beam path collapses at selective filters); "beam" keeps
+        the tombstone-mask beam path (raise ef_search)."""
+        if filter_mode not in ("scan", "beam"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
             s = np.full((q.shape[0], k), np.inf if self.cfg.metric == "l2" else -np.inf)
             return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
+        if allowed is not None and filter_mode == "scan":
+            from ..utils.masks import allowed_mask
+            from .scan_filter import make_sharded_masked_scan
+
+            st = self.state
+            av = allowed_mask(allowed, self._n, self._n)
+            ext = st.ext_ids                              # [S, cap] by row
+            ok = jnp.take(av, jnp.maximum(ext, 0)) & (ext >= 0)
+            if bool(self._dead):
+                self._sync_dead_mask()
+                ok = ok & ~self._dead_mask[:, : ext.shape[1]]
+            bias = jnp.where(ok, 0.0, jnp.inf)
+            key = ("scanfilt", k)
+            if getattr(self, "_scanfilt_key", None) != key:
+                self._scanfilt_fn = make_sharded_masked_scan(
+                    self.mesh, self.n_data, self.cfg.metric,
+                    self.cfg.precision, k)
+                self._scanfilt_key = key
+            scales = jnp.broadcast_to(
+                jnp.reshape(st.q_scale, (-1, 1)), ext.shape)
+            q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
+            return self._scanfilt_fn(st.vectors, st.norms + bias, scales,
+                                     ext, q)
         ef = ef_search if ef_search is not None else self.search_cfg.ef_search
         # search_cfg participates in the cache key: _make_search captures it
         # in the jitted closure, so a reassigned idx.search_cfg must rebuild

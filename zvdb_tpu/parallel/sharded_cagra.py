@@ -425,9 +425,14 @@ class ShardedCagra:
         return run
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
-               allowed=None):
-        """allowed: optional allowlist over global ids — filtered search via
-        the tombstone mask path (raise ef_search for selective filters)."""
+               allowed=None, filter_mode: str = "scan"):
+        """allowed: optional allowlist over global ids. filter_mode "scan"
+        (default) answers filtered queries with the EXACT per-shard masked
+        scan + global merge (parallel/scan_filter.py — the round-4 measured
+        policy: the beam path collapses at selective filters); "beam" keeps
+        the tombstone-mask beam path (raise ef_search)."""
+        if filter_mode not in ("scan", "beam"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
         # jnp, not np: device-resident query batches must not round-trip
         # through the host (a 5 MB pull+re-upload through the relay costs
@@ -441,6 +446,28 @@ class ShardedCagra:
             s = np.full((q.shape[0], k),
                         np.inf if self.cfg.metric == "l2" else -np.inf)
             return jnp.asarray(s), jnp.full((q.shape[0], k), -1, jnp.int32)
+        if allowed is not None and filter_mode == "scan":
+            from ..utils.masks import allowed_mask
+            from .scan_filter import make_sharded_masked_scan
+
+            av = allowed_mask(allowed, self._n, self._n)
+            ok = (jnp.take(av, jnp.maximum(self.ext_ids, 0))
+                  & (self.ext_ids >= 0))
+            if bool(self._dead):
+                self._sync_dead_mask()
+                ok = ok & ~self._dead_mask
+            st = self.state
+            bias = jnp.where(ok, 0.0, jnp.inf)
+            key = ("scanfilt", k)
+            if getattr(self, "_scanfilt_key", None) != key:
+                self._scanfilt_fn = make_sharded_masked_scan(
+                    self.mesh, self.n_data, self.cfg.metric,
+                    self.cfg.precision, k)
+                self._scanfilt_key = key
+            scales = jnp.broadcast_to(
+                jnp.reshape(st.q_scale, (-1, 1)), self.ext_ids.shape)
+            return self._scanfilt_fn(st.vectors, st.norms + bias, scales,
+                                     self.ext_ids, q)
         ef = ef_search if ef_search is not None else self.cfg.ef_search
         with_dead = bool(self._dead) or allowed is not None
         if bool(self._dead):

@@ -246,7 +246,8 @@ class ShardedIVF:
 
         return run
 
-    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None):
+    def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None,
+               filter_mode: str = "scan"):
         """Shard-routed search. `nprobe` is a GLOBAL budget: each shard
         probes its `ceil(nprobe/S) + 1` best LOCAL clusters, so the union
         probes between nprobe+S and the single-chip nprobe's cluster set.
@@ -262,9 +263,16 @@ class ShardedIVF:
         on a global top-p and ships probe lists over ICI for no measured
         recall win at the tested scales.
 
-        allowed: optional allowlist over global ids — filtered search on the
-        per-shard probe pools (widened 8x under a filter). Forces the
-        local-id+id_map layout on first use (one-time conversion)."""
+        allowed: optional allowlist over global ids. filter_mode "scan"
+        (default, float dtypes) answers filtered queries with the EXACT
+        per-shard masked scan of the grouped blocks + global merge
+        (parallel/scan_filter.py — round-4 measured policy: probe-pool
+        filtering lost to 0.256 recall at 1% selectivity even at 8x
+        widening). "probe" (and int8 residual storage, which has no exact
+        row form) filters the per-shard probe pools, widened 8x; forces
+        the local-id+id_map layout on first use (one-time conversion)."""
+        if filter_mode not in ("scan", "probe"):
+            raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
@@ -273,6 +281,35 @@ class ShardedIVF:
                          jnp.inf if self.cfg.metric == "l2" else -jnp.inf),
                 jnp.full((q.shape[0], k), -1, jnp.int32),
             )
+        if allowed is not None and filter_mode == "scan" \
+                and self.cfg.dtype != "int8":
+            from ..utils.masks import allowed_mask
+            from .scan_filter import make_sharded_masked_scan
+
+            st = self.state
+            s_, d_ = st.blocks.shape[0], st.blocks.shape[-1]
+            cb = st.blocks.reshape(s_, -1, d_)
+            bi = st.b_ids.reshape(s_, -1)
+            if self.id_map is not None:   # local-id layout -> global ids
+                gi = jnp.take_along_axis(
+                    self.id_map, jnp.maximum(bi, 0), axis=1)
+                gi = jnp.where(bi >= 0, gi, -1)
+            else:
+                gi = jnp.where(bi >= 0, bi, -1)
+            av = allowed_mask(allowed, self._n, self._n)
+            ok = (gi >= 0) & jnp.take(av, jnp.maximum(gi, 0))
+            bias = jnp.where(ok, 0.0, jnp.inf)
+            gi = jnp.where(ok, gi, -1)
+            key = ("scanfilt", k)
+            if getattr(self, "_scanfilt_key", None) != key:
+                self._scanfilt_fn = make_sharded_masked_scan(
+                    self.mesh, getattr(self, "n_data", 1), self.cfg.metric,
+                    self.cfg.precision, k)
+                self._scanfilt_key = key
+            q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
+            return self._scanfilt_fn(
+                cb, st.b_norms.reshape(s_, -1) + bias,
+                st.b_scales.reshape(s_, -1), gi, q)
         p_total = nprobe or self.cfg.nprobe
         # each shard probes its local best; +1 covers placement imbalance
         p_local = min(
