@@ -511,8 +511,13 @@ def main():
                 for lo in range(0, nq, 2048)
             ])
             del oracle
-        pq_cfg = PQConfig(dim=d, n_sub=16, refine="int8", rerank=4,
-                          metric=metric)
+        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq2,
+        # docs/PERF.md "Round-4 PQ on hardware"): 4-bit codes, fused Pallas
+        # ADC scan on the int8 MXU path, per-bin top-2 fold, rerank=16 ->
+        # 0.9594 @ 104k QPS at 1M (the r3 config read 0.60 @ 22k).
+        pq_cfg = PQConfig(dim=d, n_sub=32, n_codes=16, scan="pallas",
+                          scan_precision="int8", refine="int8", rerank=16,
+                          l_bins=1024, per_bin=2, metric=metric)
         xd1 = jax.device_put(x1)
         jax.block_until_ready(xd1)
         warm = PQFlatIndex(pq_cfg)
