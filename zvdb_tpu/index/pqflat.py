@@ -220,7 +220,7 @@ def _pq_search(
             lut, state.codes, state.norms, kk, l_bins=cfg.l_bins,
             bq_tile=cfg.pallas_bq, chunk=cfg.pallas_chunk, metric=metric,
             precision=cfg.scan_precision, per_bin=cfg.per_bin,
-            interpret=interpret)
+            seg_rows=cfg.seg_rows, interpret=interpret)
     else:
         s1, i1 = _pq_scan(state, qr, kk, metric, cfg.tile_n, approx,
                           cfg.recall_target, cfg.precision,

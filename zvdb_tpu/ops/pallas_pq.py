@@ -49,7 +49,8 @@ _NEG1 = -1
 
 def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
                out_s_ref, out_i_ref, best_s, best_i, *,
-               l_bins: int, metric: str, precision: str, per_bin: int):
+               l_bins: int, metric: str, precision: str, per_bin: int,
+               chunks_per_seg: int):
     bq = lut_ref.shape[0]
     sc = lut_ref.shape[1]          # n_sub * 16
     chunk = codes_ref.shape[1]
@@ -57,7 +58,7 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
-    @pl.when(j == 0)
+    @pl.when(j % chunks_per_seg == 0)
     def _():
         best_s[:] = jnp.full((bq, per_bin * l_bins), jnp.inf, jnp.float32)
         best_i[:] = jnp.full((bq, per_bin * l_bins), _NEG1, jnp.int32)
@@ -142,7 +143,8 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
         best_i[:, :l_bins] = i1
         best_i[:, l_bins:] = i2
 
-    @pl.when(j == n_chunks - 1)
+    @pl.when(jnp.logical_or(j % chunks_per_seg == chunks_per_seg - 1,
+                            j == n_chunks - 1))
     def _():
         out_s_ref[:] = best_s[:]
         out_i_ref[:] = best_i[:]
@@ -174,7 +176,7 @@ def permute_lut(lut: jax.Array, n_sub: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("l_bins", "bq_tile", "chunk", "metric", "precision",
-                     "per_bin", "interpret"),
+                     "per_bin", "seg_rows", "interpret"),
 )
 def pq_scan_bins(
     lut: jax.Array,          # [B, S, 16] f32 ADC table (adc_lut, rotated qs)
@@ -186,16 +188,25 @@ def pq_scan_bins(
     metric: str = "l2",
     precision: str = "default",
     per_bin: int = 1,
+    seg_rows: int = 0,
     interpret: bool = False,
 ):
-    """Fold the PQ-coded corpus into [B, per_bin*l_bins] per-query bin minima.
+    """Fold the PQ-coded corpus into [B, n_seg*per_bin*l_bins] bin minima.
 
-    Returns (bin_scores [B, per_bin*L] f32 surrogates, bin_ids int32, -1
-    where a bin never saw a valid row). per_bin=2 keeps the two best rows of
-    each bin (columns [L:] hold the runners-up) — the selection-recall lever
-    when the rerank pool, not the quantizer, is the bottleneck. Surrogate
-    convention matches the engines: l2 = ||xhat||^2 - 2 q.xhat (query norm
-    not added), dot/cosine = -q.xhat.
+    Returns (bin_scores [B, n_seg*per_bin*L] f32 surrogates, bin_ids int32,
+    -1 where a bin never saw a valid row). per_bin=2 keeps the two best rows
+    of each bin (the second half of each segment's columns holds the
+    runners-up) — the selection-recall lever when the rerank pool, not the
+    quantizer, is the bottleneck. Surrogate convention matches the engines:
+    l2 = ||xhat||^2 - 2 q.xhat (query norm not added), dot/cosine = -q.xhat.
+
+    seg_rows > 0 folds each consecutive seg_rows-row corpus SEGMENT into its
+    own [per_bin*L] pool (output block index j // chunks_per_seg — one kernel
+    program, no extra corpus traffic): the candidate pool scales with N, so
+    bin competition stays at seg_rows/L rows per bin instead of N/L. Measured
+    need: at 30M rows a fixed 2048-slot pool capped recall at 0.77 (rr32)
+    while the same config read 0.9594 at 1M — rows-per-bin had grown 30x.
+    seg_rows=0 keeps the single global pool.
     """
     assert per_bin in (1, 2)
     b, n_sub, c16 = lut.shape
@@ -219,10 +230,16 @@ def pq_scan_bins(
 
     n_q_tiles = lut_p.shape[0] // bq
     n_chunks = codes_p.shape[1] // chunk
+    if seg_rows:
+        assert seg_rows % chunk == 0, "seg_rows must be a multiple of chunk"
+        cps = seg_rows // chunk
+    else:
+        cps = n_chunks
+    n_seg = -(-n_chunks // cps)
 
     kernel = functools.partial(
         _pq_kernel, l_bins=l_bins, metric=metric, precision=precision,
-        per_bin=per_bin)
+        per_bin=per_bin, chunks_per_seg=cps)
     lw = per_bin * l_bins
     grid = (n_q_tiles, n_chunks)           # chunk innermost: scratch accumulates
     bin_s, bin_i = pl.pallas_call(
@@ -241,14 +258,14 @@ def pq_scan_bins(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bq, lw), lambda i, j: (i, 0),
+            pl.BlockSpec((bq, lw), lambda i, j: (i, j // cps),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, lw), lambda i, j: (i, 0),
+            pl.BlockSpec((bq, lw), lambda i, j: (i, j // cps),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((lut_p.shape[0], lw), jnp.float32),
-            jax.ShapeDtypeStruct((lut_p.shape[0], lw), jnp.int32),
+            jax.ShapeDtypeStruct((lut_p.shape[0], n_seg * lw), jnp.float32),
+            jax.ShapeDtypeStruct((lut_p.shape[0], n_seg * lw), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, lw), jnp.float32),
@@ -275,17 +292,19 @@ def pq_scan_topk(
     metric: str = "l2",
     precision: str = "default",
     per_bin: int = 1,
+    seg_rows: int = 0,
     interpret: bool = False,
 ):
-    """Fused PQ top-k: bin fold + one small exact selection over per_bin*L.
+    """Fused PQ top-k: bin fold + one small exact selection over the pooled
+    n_seg*per_bin*L bins (pool scales with N when seg_rows > 0).
 
     Returns (surrogate scores [B, k], ids [B, k]); invalid slots +inf / -1.
     """
     bin_s, bin_i = pq_scan_bins(
         lut, codes_t, norms, l_bins=l_bins, bq_tile=bq_tile, chunk=chunk,
         metric=metric, precision=precision, per_bin=per_bin,
-        interpret=interpret)
-    width = per_bin * l_bins
+        seg_rows=seg_rows, interpret=interpret)
+    width = bin_s.shape[1]
     kk = min(k, width)
     if kk > 64:
         # wide pools (rerank*k): lax.top_k degrades superlinearly in k while

@@ -199,6 +199,14 @@ class PQConfig:
     # the rerank depth. per_bin=2 requires BOTH competitors to beat it
     # (squares the loss) for ~2x fold cost on the non-matmul part only.
     per_bin: int = 2
+    # Corpus rows per bin-pool SEGMENT (pallas scan). Each segment folds into
+    # its own per_bin*l_bins pool, so bin competition stays at seg_rows/L
+    # rows per bin no matter how large the corpus grows (measured: the fixed
+    # 2048-slot pool that reads 0.9594 recall at 1M collapsed to 0.77 at 30M
+    # — 30x the rows per bin). VMEM caps l_bins, so this is the scaling
+    # lever; the refine rerank then selects from the pooled n_seg*2048
+    # candidates. Must be a multiple of pallas_chunk; 0 = one global pool.
+    seg_rows: int = 1_048_576
 
     def __post_init__(self):
         if self.metric not in _VALID_METRICS:
@@ -223,6 +231,9 @@ class PQConfig:
                 raise ValueError("pallas_chunk must be a multiple of l_bins")
             if self.per_bin not in (1, 2):
                 raise ValueError("per_bin must be 1 or 2")
+            if self.seg_rows and self.seg_rows % self.pallas_chunk != 0:
+                raise ValueError(
+                    "seg_rows must be 0 or a multiple of pallas_chunk")
 
     @property
     def packed(self) -> bool:
