@@ -72,6 +72,69 @@ def timed_qps(search_fn, q, batch, reps=6):
     return best
 
 
+def run_pq_scale(scale_n: int, k: int = 10):
+    """>=30M single-chip PQ scale row (the 100M-config hardware evidence).
+
+    Chunked DEEP-like 96d build with exact GT merged per resident chunk —
+    the HBM-disciplined protocol of examples/exp_r4_scale.py. Returns
+    (results key, row dict). Small scale_n values run the same code as a
+    smoke (chunk shrinks to scale_n).
+    """
+    import jax
+
+    from zvdb_tpu import FlatConfig, FlatIndex, PQConfig, PQFlatIndex
+    from zvdb_tpu.bench.harness import recall_at_k
+
+    ds, nqs = 96, 2048
+    chunk_n = min(2_000_000, scale_n)   # small values = smoke mode
+    scfg = PQConfig(dim=ds, n_sub=48, n_codes=16, scan="pallas",
+                    scan_precision="int8", refine="int8", rerank=16,
+                    l_bins=1024, per_bin=2,
+                    train_sample=min(131072, chunk_n))
+    sidx = PQFlatIndex(scfg, capacity=scale_n)
+    cents = (np.random.default_rng(4242)
+             .standard_normal((32768, ds)).astype(np.float32) * 2.0)
+
+    def s_chunk(i, rows):
+        r = np.random.default_rng(9000 + i)
+        a = r.integers(0, 32768, rows)
+        return (cents[a]
+                + 0.25 * r.standard_normal((rows, ds)).astype(np.float32))
+
+    qrng = np.random.default_rng(555)
+    c0 = s_chunk(0, chunk_n)
+    qs_ = (c0[qrng.integers(0, chunk_n, nqs)]
+           + 0.12 * qrng.standard_normal((nqs, ds))).astype(np.float32)
+    qsd = jax.device_put(qs_)
+    gs = np.full((nqs, k), np.inf, np.float32)
+    gi = np.full((nqs, k), -1, np.int64)
+    t0 = time.perf_counter()
+    for i in range(scale_n // chunk_n):
+        xc = c0 if i == 0 else s_chunk(i, chunk_n)
+        xdc = jax.device_put(xc)
+        jax.block_until_ready(xdc)
+        sidx.add(xdc)
+        orc = FlatIndex(FlatConfig(dim=ds, precision="highest",
+                                   tile_n=250_000), capacity=chunk_n)
+        orc.add(xdc)
+        s_c, i_c = (np.asarray(v) for v in orc.search(qsd, k))
+        del orc, xdc, xc
+        alls = np.concatenate([gs, s_c], axis=1)
+        alli = np.concatenate(
+            [gi, i_c.astype(np.int64) + i * chunk_n], axis=1)
+        pos = np.argsort(alls, axis=1, kind="stable")[:, :k]
+        gs = np.take_along_axis(alls, pos, axis=1)
+        gi = np.take_along_axis(alli, pos, axis=1)
+    sb = time.perf_counter() - t0
+    ids_s = np.asarray(sidx.search(qsd, k)[1])
+    rs_ = recall_at_k(ids_s, gi, k)
+    qps_s = timed_qps(lambda qq: sidx.search(qq, k), qs_, 2048)
+    log(f"pq scale {scale_n:,}: recall={rs_:.4f} qps={qps_s:,.0f} "
+        f"build={scale_n/sb:,.0f} pts/s (incl. exact-GT pass)")
+    return (f"pq_{scale_n // 1_000_000}m",
+            dict(recall=rs_, qps=qps_s, build_pps=scale_n / sb))
+
+
 def main():
     import jax
 
@@ -551,9 +614,22 @@ def main():
     except Exception as e:
         log(f"pq 1M failed: {e!r}")
 
+    # ---- optional >=30M single-chip PQ scale row (ZVDB_BENCH_SCALE=rows) --
+    # Off by default: the build is relay-upload-bound (~18 min at 30M through
+    # this tunnel's 40 MB/s floor) and would double the driver's wall time.
+    # The measured 30M hardware row lives in docs/PERF.md ("Round-4 single-
+    # chip scale"); examples/exp_r4_scale.py is the full instrumented run.
+    scale_n = int(os.environ.get("ZVDB_BENCH_SCALE", "0"))
+    if scale_n:
+        try:
+            tag, row = run_pq_scale(scale_n, k)
+            results[tag] = row
+        except Exception as e:
+            log(f"pq scale failed: {e!r}")
+
     # headline = best engine clearing the recall target (100k-point protocol
     # engines only; the 1M result is reported alongside)
-    results_100k = {k2: v2 for k2, v2 in results.items() if "_1m" not in k2}
+    results_100k = {k2: v2 for k2, v2 in results.items() if "_" not in k2}
     best_name, best = max(
         ((name, r) for name, r in results_100k.items()
          if r["recall"] >= TARGET_RECALL),
