@@ -87,9 +87,14 @@ def test_graph_search_during_insert(rng, engine):
     assert len(idx) == n0 + ns - 2
     if hasattr(idx, "flush"):
         idx.flush()
-    # late-stream rows are reachable by exact self-query
+    # late-stream rows are reachable by exact self-query. The probe runs at
+    # a raised ef: the graph's edge quality around late rows depends on the
+    # (thread-scheduling-dependent) interleaving of the two writers' insert
+    # batches, and the contract under test is reachability (no lost points),
+    # not default-knob beam recall on an adversarial insert order — a probe
+    # at default ef is flaky under system load on uniform-random data.
     probe = n0 + ns - 5
-    _, i = idx.search(x[probe][None], 10)
+    _, i = idx.search(x[probe][None], 10, ef_search=128)
     assert probe in np.asarray(i)[0].tolist()
     # removed rows stay removed
     _, i = idx.search(x[10][None], 10)
