@@ -150,12 +150,16 @@ def main():
 
     gt = gi
     for rr in (8, 16, 32):
-        fn = lambda qq, rr=rr: idx.search(qq, k, rerank=rr)
-        ids = np.asarray(fn(qd)[1])
-        r = recall_vs(ids, gt, k)
-        qps = timed_qps(fn)
-        log(f"RESULT pq-scale n={args.n:,} ns{args.n_sub} rr{rr}: "
-            f"recall={r:.4f} qps={qps:,.0f}")
+        try:
+            fn = lambda qq, rr=rr: idx.search(qq, k, rerank=rr)
+            ids = np.asarray(fn(qd)[1])
+            r = recall_vs(ids, gt, k)
+            qps = timed_qps(fn)
+            log(f"RESULT pq-scale n={args.n:,} ns{args.n_sub} rr{rr}: "
+                f"recall={r:.4f} qps={qps:,.0f}")
+        except Exception as e:
+            # one bad compile must not discard a 40-minute build
+            log(f"RESULT pq-scale rr{rr}: FAILED {e!r}")
     log("DONE")
 
 

@@ -221,6 +221,14 @@ def pq_scan_bins(
     shift_col, code_col = _layout_consts(n_sub)
 
     bq = min(bq_tile, -(-max(8, b) // 8) * 8)
+    if seg_rows and seg_rows < n:
+        # Segmented pools make the output window revisit (block index
+        # j // cps), so Mosaic double-buffers it: +2*bq*lw*8 B of scoped
+        # VMEM on top of the same-sized scratch — bq=512/lw=2048 measured
+        # 24.05 MB vs the 16 MB limit (single-pool runs fit at 16.03).
+        # Halving bq fits with room; the scan is MXU-FLOP-bound, so the
+        # extra per-q-tile corpus re-reads are noise (codes are 16 B/row).
+        bq = min(bq, 256)
     pb = -(-b // bq) * bq - b
     pn = -(-n // chunk) * chunk - n
     lut_p = jnp.pad(lut_k, ((0, pb), (0, 0)))
