@@ -87,15 +87,25 @@ def test_graph_search_during_insert(rng, engine):
     assert len(idx) == n0 + ns - 2
     if hasattr(idx, "flush"):
         idx.flush()
-    # late-stream rows are reachable by exact self-query. The probe runs at
-    # a raised ef: the graph's edge quality around late rows depends on the
-    # (thread-scheduling-dependent) interleaving of the two writers' insert
-    # batches, and the contract under test is reachability (no lost points),
-    # not default-knob beam recall on an adversarial insert order — a probe
-    # at default ef is flaky under system load on uniform-random data.
-    probe = n0 + ns - 5
-    _, i = idx.search(x[probe][None], 10, ef_search=128)
-    assert probe in np.asarray(i)[0].tolist()
+    # Two racing writers assign ids in ARRIVAL order, so x[r] does not land
+    # at id r — every probe below is id-agnostic (a self-query must return a
+    # squared-L2 score of ~0 for its top hit; the vectors are unique).
+    tail = x[n0 + ns - 32:]
+    # (1) Deterministic "no lost data": the filtered search routes to the
+    # exact masked scan (round-4 policy), so allowing ALL ids is an exact
+    # full scan — independent of graph edge quality. Every late row must be
+    # stored somewhere.
+    s, _ = idx.search(tail, 1, allowed=np.arange(n0 + ns))
+    assert np.asarray(s).max() < 1e-3, "a late insert was lost"
+    # (2) Beam reachability as a POPULATION contract: single late rows on an
+    # adversarially interleaved incremental graph can need unbounded ef (the
+    # thread-scheduling-dependent insert order decides their edge quality),
+    # so a one-row probe is inherently flaky. Probing the whole late tail at
+    # a raised ef asserts the graph didn't lose a cohort while tolerating a
+    # stray hard-to-route node.
+    s, _ = idx.search(tail, 10, ef_search=512)
+    hit = float(np.mean(np.asarray(s)[:, 0] < 1e-3))
+    assert hit >= 0.9, f"late-tail beam reachability {hit:.2f} < 0.9"
     # removed rows stay removed
     _, i = idx.search(x[10][None], 10)
     assert 10 not in np.asarray(i)[0].tolist()
