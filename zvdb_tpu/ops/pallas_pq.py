@@ -203,10 +203,16 @@ def pq_scan_bins(
     seg_rows > 0 folds each consecutive seg_rows-row corpus SEGMENT into its
     own [per_bin*L] pool (output block index j // chunks_per_seg — one kernel
     program, no extra corpus traffic): the candidate pool scales with N, so
-    bin competition stays at seg_rows/L rows per bin instead of N/L. Measured
-    need: at 30M rows a fixed 2048-slot pool capped recall at 0.77 (rr32)
-    while the same config read 0.9594 at 1M — rows-per-bin had grown 30x.
-    seg_rows=0 keeps the single global pool.
+    bin competition stays at seg_rows/L rows per bin instead of N/L.
+    Measured honestly (30M x 96d A/B, examples/exp_r4_scale.py): at rerank
+    depths well below the global pool capacity (rr<=32 vs 4096 slots)
+    segment pools are recall-IDENTICAL to the global pool — the global
+    pool still retains the ADC-top-320, so the 0.77 @ rr32 ceiling there is
+    ADC-precision-bound, not eviction-bound. What segment pools buy is a
+    pool that scales with N (n_seg*per_bin*L slots), which makes DEEP
+    rerank (rr >= ~pool/k) meaningful — and at 30M the scan dominates
+    per-query cost (~409 us vs ~4.5 us for a 320-row refine gather), so
+    deep rerank is nearly free. seg_rows=0 keeps the single global pool.
     """
     assert per_bin in (1, 2)
     b, n_sub, c16 = lut.shape
