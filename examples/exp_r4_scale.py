@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--n-sub", type=int, default=48)
     ap.add_argument("--refine", default="int8")
     ap.add_argument("--nq", type=int, default=2048)
+    ap.add_argument("--rrs", default="8,16,32",
+                    help="comma-separated rerank depths to sweep; the 30M "
+                         "recall ceiling is ADC-bound so deep rr (128-256) "
+                         "is the lever — the refine gather is ~1% of the "
+                         "scan cost at this scale")
     args = ap.parse_args()
     assert args.n % args.chunk == 0
 
@@ -149,7 +154,7 @@ def main():
         return best
 
     gt = gi
-    for rr in (8, 16, 32):
+    for rr in tuple(int(s) for s in args.rrs.split(",")):
         try:
             fn = lambda qq, rr=rr: idx.search(qq, k, rerank=rr)
             ids = np.asarray(fn(qd)[1])

@@ -282,3 +282,35 @@ def test_opq_sharded_matches_single_chip():
         sh2 = ShardedPQFlat.load(p, mesh=make_mesh(n_shards=4))
         np.testing.assert_array_equal(np.asarray(sh.search(q, 10)[1]),
                                       np.asarray(sh2.search(q, 10)[1]))
+
+
+def test_pallas_scan_per_shard(corpus):
+    """cfg.scan='pallas' runs the fused 4-bit ADC kernel per shard
+    (interpret mode off-TPU) — recall at parity with the XLA decode-scan,
+    global-id/score conventions intact, and the per-call rerank override
+    (ShardedPQFlat.search(..., rerank=)) deepens the per-shard pool."""
+    x, q, gt = corpus
+    idx = _mk(scan="pallas", n_codes=16, l_bins=128, pallas_chunk=512,
+              per_bin=2, seg_rows=0)
+    idx.build(x)
+    s, ids = idx.search(q, 10)
+    r = recall_at_k(np.asarray(ids), gt, 10)
+    assert r >= 0.9, f"sharded pallas-scan recall {r:.3f}"
+    ids = np.asarray(ids)
+    s = np.asarray(s)
+    assert ids.max() < x.shape[0] and ids.min() >= 0
+    assert (np.diff(s, axis=1) >= -1e-5).all()
+    # deeper per-call rerank: may only help (wider exact-rescored pool)
+    r2 = recall_at_k(np.asarray(idx.search(q, 10, rerank=16)[1]), gt, 10)
+    assert r2 >= r - 0.02, f"rerank=16 {r2:.3f} < rerank=8 {r:.3f}"
+
+
+def test_pallas_scan_segmented_pools(corpus):
+    """seg_rows segments the per-shard bin pool (pool scales with shard
+    rows); recall parity with the global pool at these sizes."""
+    x, q, gt = corpus
+    idx = _mk(scan="pallas", n_codes=16, l_bins=128, pallas_chunk=512,
+              per_bin=2, seg_rows=512)
+    idx.build(x)
+    r = recall_at_k(np.asarray(idx.search(q, 10)[1]), gt, 10)
+    assert r >= 0.9, f"sharded segmented pallas-scan recall {r:.3f}"

@@ -8,8 +8,10 @@ single-chip int8 IVF index at 10M.
 
 Design mirrors ShardedFlat (sharded_flat.py): codes/norms/refine/ids are
 sharded on `shard`, codebooks are replicated (they are KB-scale), every
-device runs the gather-free PQ tile scan (index/pqflat.py:_pq_scan) over
-its slice, reranks its own candidates against its LOCAL refine store
+device scans its slice — cfg.scan="pallas" runs the fused 4-bit ADC
+kernel (ops/pallas_pq.py; the round-4 fast path, 5x the XLA decode-scan
+at 1M) per shard, "xla" the gather-free decode-tile scan
+(index/pqflat.py:_pq_scan) — reranks its own candidates against its LOCAL refine store
 (zero cross-shard gathers — the refine row fetch stays on-chip), and the
 per-shard exact top-k merge rides the all-gather XLA inserts from the
 sharding annotations.
@@ -410,9 +412,12 @@ class ShardedPQFlat:
 
     # ------------------------------------------------------------ search
 
-    def _make(self, k: int, approx: bool):
+    def _make(self, k: int, approx: bool, rerank: int):
         cfg = self.cfg
         mesh = self.mesh
+        # pallas kernels need interpret mode off-TPU (same gate as the
+        # single-chip engine, index/pqflat.py)
+        interp = jax.default_backend() != "tpu"
 
         @jax.jit
         def run(codes, norms, refine, r_scales, ids, codebooks, rot, q):
@@ -424,12 +429,31 @@ class ShardedPQFlat:
             def local(c, nn, rv, rs, ii, cb, qr, qs):
                 c, nn, rv, rs, ii = c[0], nn[0], rv[0], rs[0], ii[0]
                 cap = c.shape[0]
-                st = PQState(codes=c, norms=nn, codebooks=cb,
-                             rot=jnp.zeros((0, 0), jnp.float32), refine=rv,
-                             r_scales=rs, n=jnp.asarray(cap, jnp.int32))
-                pool = max(k * cfg.rerank, k) if cfg.refine != "none" else k
-                ps, pi = _pq_scan(st, qr, pool, cfg.metric, cfg.tile_n,
-                                  approx, cfg.recall_target, cfg.precision)
+                pool = max(k * rerank, k) if cfg.refine != "none" else k
+                if approx and cfg.scan == "pallas":
+                    # Fused 4-bit ADC kernel per shard (ops/pallas_pq.py).
+                    # The shard store keeps the portable [per, n_sub] byte
+                    # layout; pack+transpose here costs 48 B/row of HBM
+                    # traffic per call — noise next to the MXU-bound scan
+                    # (PERF.md round-4: the kernel is FLOP-bound, and the
+                    # XLA decode-scan it replaces measured 5x slower at 1M).
+                    from ..ops.pallas_pq import pq_scan_topk
+
+                    lut = PQ.adc_lut(qr, cb)
+                    ps, pi = pq_scan_topk(
+                        lut, PQ.pack_nibbles(c).T, nn, pool,
+                        l_bins=cfg.l_bins, bq_tile=cfg.pallas_bq,
+                        chunk=cfg.pallas_chunk, metric=cfg.metric,
+                        precision=cfg.scan_precision, per_bin=cfg.per_bin,
+                        seg_rows=cfg.seg_rows, interpret=interp)
+                else:
+                    st = PQState(codes=c, norms=nn, codebooks=cb,
+                                 rot=jnp.zeros((0, 0), jnp.float32),
+                                 refine=rv, r_scales=rs,
+                                 n=jnp.asarray(cap, jnp.int32))
+                    ps, pi = _pq_scan(st, qr, pool, cfg.metric, cfg.tile_n,
+                                      approx, cfg.recall_target,
+                                      cfg.precision)
                 if cfg.refine != "none":
                     safe = jnp.maximum(pi, 0)
                     cand = jnp.take(rv, safe, axis=0).astype(jnp.float32)
@@ -463,10 +487,13 @@ class ShardedPQFlat:
 
         return run
 
-    def search(self, q, k: int, approx: bool = True, allowed=None):
+    def search(self, q, k: int, approx: bool = True, allowed=None,
+               rerank: int | None = None):
         """Top-k over the mesh. allowed: optional allowlist over global ids
         (bool mask or id array) — one per-call validity-bias mask, exact at
-        any selectivity; the per-shard refine pool is post-filter."""
+        any selectivity; the per-shard refine pool is post-filter.
+        rerank: per-call override of cfg.rerank (per-SHARD refine-pool depth
+        = k * rerank), same convention as PQFlatIndex.search."""
         self._flush()
         q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
         if q.shape[-1] != self.cfg.dim:
@@ -479,9 +506,10 @@ class ShardedPQFlat:
                          jnp.inf if self.cfg.metric == "l2" else -jnp.inf),
                 jnp.full((q.shape[0], k), -1, jnp.int32),
             )
-        key = (k, approx)
+        rr = self.cfg.rerank if rerank is None else int(rerank)
+        key = (k, approx, rr)
         if key not in self._fns:
-            self._fns[key] = self._make(k, approx)
+            self._fns[key] = self._make(k, approx, rr)
         st = self.state
         norms = st["norms"]
         if allowed is not None:

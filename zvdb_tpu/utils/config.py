@@ -200,12 +200,14 @@ class PQConfig:
     # (squares the loss) for ~2x fold cost on the non-matmul part only.
     per_bin: int = 2
     # Corpus rows per bin-pool SEGMENT (pallas scan). Each segment folds into
-    # its own per_bin*l_bins pool, so bin competition stays at seg_rows/L
-    # rows per bin no matter how large the corpus grows (measured: the fixed
-    # 2048-slot pool that reads 0.9594 recall at 1M collapsed to 0.77 at 30M
-    # — 30x the rows per bin). VMEM caps l_bins, so this is the scaling
-    # lever; the refine rerank then selects from the pooled n_seg*2048
-    # candidates. Must be a multiple of pallas_chunk; 0 = one global pool.
+    # its own per_bin*l_bins pool, so the candidate pool scales with N
+    # (n_seg*per_bin*l_bins slots) while VMEM caps l_bins. Measured honestly
+    # (30M A/B, PERF.md "Round-4 single-chip scale"): at rerank depths well
+    # below the global pool capacity, segment pools are recall-IDENTICAL —
+    # the 30M ceiling is ADC-precision-bound; what segmenting buys is a
+    # pool wide enough that DEEP rerank (the measured 30M recall lever)
+    # has candidates to select from.
+    # Must be a multiple of pallas_chunk; 0 = one global pool.
     seg_rows: int = 1_048_576
 
     def __post_init__(self):
