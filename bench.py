@@ -126,9 +126,13 @@ def run_pq_scale(scale_n: int, k: int = 10):
         gs = np.take_along_axis(alls, pos, axis=1)
         gi = np.take_along_axis(alli, pos, axis=1)
     sb = time.perf_counter() - t0
-    ids_s = np.asarray(sidx.search(qsd, k)[1])
+    # rr128: the measured 30M winner (0.935 vs 0.774 at the cfg's rr16-era
+    # depth for 6% QPS — PERF.md "Round-4 single-chip scale"; rr256 is
+    # recall-identical, the residual gap is bin-fold eviction)
+    rr = 128 if scale_n >= 8_000_000 else 16
+    ids_s = np.asarray(sidx.search(qsd, k, rerank=rr)[1])
     rs_ = recall_at_k(ids_s, gi, k)
-    qps_s = timed_qps(lambda qq: sidx.search(qq, k), qs_, 2048)
+    qps_s = timed_qps(lambda qq: sidx.search(qq, k, rerank=rr), qs_, 2048)
     log(f"pq scale {scale_n:,}: recall={rs_:.4f} qps={qps_s:,.0f} "
         f"build={scale_n/sb:,.0f} pts/s (incl. exact-GT pass)")
     return (f"pq_{scale_n // 1_000_000}m",
