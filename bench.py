@@ -15,7 +15,7 @@ Engines measured (all part of zvdb-tpu):
            build is the all-MXU oneshot cluster-kNN construction).
   cagra  — single-layer fixed-degree graph, centroid-seeded beam, packed
            one-gather scoring rows (the fast graph engine).
-  pq     — product-quantized scan + int8 refine rerank (measured at the 1M
+  pq     — product-quantized scan + bf16 refine rerank (measured at the 1M
            config only: the memory-scaling engine, 20 B/vec codes).
 
 Graph-engine builds are timed WARM (same-shape rebuild after a first build
@@ -87,8 +87,10 @@ def run_pq_scale(scale_n: int, k: int = 10):
 
     ds, nqs = 96, 2048
     chunk_n = min(2_000_000, scale_n)   # small values = smoke mode
+    # bf16 refine store: the rescore-precision fix (PERF.md round-4 — int8
+    # refine walls recall; bf16 is faster AND higher). 220 B/row at 96d.
     scfg = PQConfig(dim=ds, n_sub=48, n_codes=16, scan="pallas",
-                    scan_precision="int8", refine="int8", rerank=16,
+                    scan_precision="int8", refine="bfloat16", rerank=16,
                     l_bins=1024, per_bin=2,
                     train_sample=min(131072, chunk_n))
     sidx = PQFlatIndex(scfg, capacity=scale_n)
@@ -128,7 +130,8 @@ def run_pq_scale(scale_n: int, k: int = 10):
     sb = time.perf_counter() - t0
     # rr128: the measured 30M winner (0.935 vs 0.774 at the cfg's rr16-era
     # depth for 6% QPS — PERF.md "Round-4 single-chip scale"; rr256 is
-    # recall-identical, the residual gap is bin-fold eviction)
+    # recall-identical, the residual gap was the int8 refine precision,
+    # fixed by the bf16 refine store above)
     rr = 128 if scale_n >= 8_000_000 else 16
     ids_s = np.asarray(sidx.search(qsd, k, rerank=rr)[1])
     rs_ = recall_at_k(ids_s, gi, k)
@@ -578,13 +581,15 @@ def main():
                 for lo in range(0, nq, 2048)
             ])
             del oracle
-        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq2,
+        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq2/pq6,
         # docs/PERF.md "Round-4 PQ on hardware"): 4-bit codes, fused Pallas
-        # ADC scan on the int8 MXU path, per-bin top-2 fold, rerank=16 ->
-        # 0.9594 @ 104k QPS at 1M (the r3 config read 0.60 @ 22k).
+        # ADC scan on the int8 MXU path, per-bin top-2 fold, rerank=16,
+        # bf16 refine store (the rescore-precision fix: int8 refine walls at
+        # 0.9594; bf16 reads 0.9876 @ 118k and is FASTER) — 276 B/row vs
+        # flat's 512 (the r3 config read 0.60 @ 22k).
         pq_cfg = PQConfig(dim=d, n_sub=32, n_codes=16, scan="pallas",
-                          scan_precision="int8", refine="int8", rerank=16,
-                          l_bins=1024, per_bin=2, metric=metric)
+                          scan_precision="int8", refine="bfloat16",
+                          rerank=16, l_bins=1024, per_bin=2, metric=metric)
         xd1 = jax.device_put(x1)
         jax.block_until_ready(xd1)
         warm = PQFlatIndex(pq_cfg)
@@ -609,7 +614,7 @@ def main():
         qpsq = timed_qps(lambda qq: pqi.search(qq, k), q1, 2048)
         log(f"pq 1M: recall={rq_:.4f} qps={qpsq:,.0f} "
             f"build={n1/pq_build_dev_s:,.0f} pts/s device-resident "
-            f"(codes+refine {(16 + 4 + d + 4) * n1 / 2**30:.2f} GB vs "
+            f"(codes+refine {pq_cfg.bytes_per_vector * n1 / 2**30:.2f} GB vs "
             f"{4 * d * n1 / 2**30:.1f} GB f32)")
         results["pq_1m"] = dict(recall=rq_, qps=qpsq,
                                 build_pps=n1 / pq_build_dev_s,

@@ -43,6 +43,30 @@ def test_refine_rerank_recall(data):
     assert _recall(idx.search(q, 10)[1], gt) > 0.95
 
 
+@pytest.mark.parametrize("refine", ["int8", "int16", "bfloat16", "float32"])
+def test_refine_dtypes(data, refine, tmp_path):
+    """Every refine store dtype repairs PQ ranking; int16/f32 are
+    rescore-exact grade (the measured 1M lesson — int8 flips near-ties,
+    PERF.md round 4), get() reconstructs, and save/load round-trips (bf16
+    rides npz as a uint16 view, int16 natively)."""
+    x, q = data
+    _, gt = exact_ground_truth(x, q, 10)
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, refine=refine,
+                               train_sample=4096))
+    idx.build(x)
+    assert _recall(idx.search(q, 10)[1], gt) > 0.95
+    g = idx.get([0, 1, 2])
+    tol = {"int8": 0.02, "int16": 1e-4, "bfloat16": 0.01,
+           "float32": 1e-6}[refine]
+    assert np.abs(g - x[:3]).max() / np.abs(x[:3]).max() < tol
+    p = str(tmp_path / f"pq_{refine}.npz")
+    idx.save(p)
+    idx2 = PQFlatIndex.load(p)
+    assert idx2.state.refine.dtype == idx.state.refine.dtype
+    np.testing.assert_array_equal(np.asarray(idx.search(q[:50], 10)[1]),
+                                  np.asarray(idx2.search(q[:50], 10)[1]))
+
+
 def test_pure_codes_recall_scales_with_subspaces(data):
     """No refine store: recall is bounded by code resolution and must rise
     monotonically (within tolerance) as subspaces get finer."""
@@ -187,12 +211,14 @@ def test_tiled_scan_matches_untiled(data):
 
 
 def test_bytes_per_vector_accounting():
-    cfg = PQConfig(dim=128, n_sub=16)                     # int8 refine
-    assert cfg.bytes_per_vector == 16 + 4 + 128 + 4
+    cfg = PQConfig(dim=128, n_sub=16)                    # int16 refine default
+    assert cfg.bytes_per_vector == 16 + 4 + 256 + 4
     cfg = PQConfig(dim=128, n_sub=16, refine="none")
     assert cfg.bytes_per_vector == 16 + 4
     cfg = PQConfig(dim=128, n_sub=16, refine="bfloat16")
     assert cfg.bytes_per_vector == 16 + 4 + 256
+    cfg = PQConfig(dim=128, n_sub=16, refine="int8")
+    assert cfg.bytes_per_vector == 16 + 4 + 128 + 4
 
 
 # ---------------------------------------------------------------- OPQ

@@ -94,8 +94,9 @@ def _ingest(state: PQState, x: jax.Array, metric: str, refine: str,
         norms = PQ.decoded_sq_norms(codes, state.codebooks)
     else:
         norms = jnp.zeros((x.shape[0],), jnp.float32)
-    if refine == "int8":
-        rrows, rscales, _ = D.quantize_corpus(xf, metric)
+    if refine in ("int8", "int16"):
+        rrows, rscales, _ = D.quantize_corpus(
+            xf, metric, bits=8 if refine == "int8" else 16)
     elif refine == "none":
         rrows = jnp.zeros((x.shape[0], 0), jnp.float32)
         rscales = jnp.ones((x.shape[0],), jnp.float32)
@@ -231,7 +232,7 @@ def _pq_search(
     else:
         safe = jnp.maximum(i1, 0)
         rv = jnp.take(state.refine, safe, axis=0).astype(jnp.float32)
-        if refine == "int8":
+        if refine in ("int8", "int16"):
             rv = rv * jnp.take(state.r_scales, safe, axis=0)[..., None]
         dots = jnp.einsum("bd,bcd->bc", qs, rv,
                           preferred_element_type=jnp.float32,
@@ -431,6 +432,12 @@ class PQFlatIndex:
 
         if self.state is None:
             raise ValueError("empty index")
+        refine = np.asarray(self.state.refine)
+        if self.state.refine.dtype == jnp.bfloat16:
+            # npz stores ml_dtypes bfloat16 as raw void ('|V2') which cannot
+            # be reloaded — ship the bit pattern as uint16 (lossless, same
+            # bytes; the load path views it back via cfg.refine_dtype).
+            refine = refine.view(np.uint16)
         np.savez(
             path,
             cfg=json.dumps(dataclasses.asdict(self.cfg)),
@@ -440,7 +447,7 @@ class PQFlatIndex:
             norms=np.asarray(self.state.norms),
             codebooks=np.asarray(self.state.codebooks),
             rot=np.asarray(self.state.rot),
-            refine=np.asarray(self.state.refine),
+            refine=refine,
             r_scales=np.asarray(self.state.r_scales),
             n=np.asarray(self.state.n),
         )
@@ -452,6 +459,10 @@ class PQFlatIndex:
         idx = cls(cfg)
         idx.capacity = int(z["capacity"])
         idx._trained = bool(z["trained"])
+        refine = z["refine"]
+        if cfg.refine == "bfloat16" and refine.dtype == np.uint16:
+            import ml_dtypes
+            refine = refine.view(ml_dtypes.bfloat16)
         idx.state = PQState(
             codes=jnp.asarray(z["codes"]),
             norms=jnp.asarray(z["norms"]),
@@ -459,7 +470,7 @@ class PQFlatIndex:
             # snapshots from before the OPQ field default to the sentinel
             rot=jnp.asarray(z["rot"]) if "rot" in z
             else jnp.zeros((0, 0), jnp.float32),
-            refine=jnp.asarray(z["refine"]),
+            refine=jnp.asarray(refine),
             r_scales=jnp.asarray(z["r_scales"]),
             n=jnp.asarray(z["n"]),
         )
@@ -486,7 +497,7 @@ class PQFlatIndex:
         rows = jnp.asarray(ids)
         if self.cfg.refine != "none":
             vecs = jnp.take(self.state.refine, rows, axis=0).astype(jnp.float32)
-            if self.cfg.refine == "int8":
+            if self.cfg.refine in ("int8", "int16"):
                 vecs = vecs * jnp.take(self.state.r_scales, rows)[:, None]
             return np.asarray(vecs)
         if self.cfg.packed:

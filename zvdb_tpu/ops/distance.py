@@ -73,19 +73,22 @@ def quantize_corpus_global(x: jax.Array, metric: str, scale: jax.Array):
     return codes, norms
 
 
-def quantize_corpus(x: jax.Array, metric: str):
-    """Symmetric per-vector int8 quantization (the idiomatic analog of the
+def quantize_corpus(x: jax.Array, metric: str, bits: int = 8):
+    """Symmetric per-vector integer quantization (the idiomatic analog of the
     reference's integer HNSW instantiation, src/test_hnsw.zig:239-273).
 
-    Returns (codes int8 [..., D], scales f32 [...], sq_norms f32 [...]).
+    bits=8 -> int8 codes (levels +-127); bits=16 -> int16 (+-32767, ~128x
+    finer — the PQ refine store's exact-rescore grade at 2 bytes/dim).
+    Returns (codes int [..., D], scales f32 [...], sq_norms f32 [...]).
     Reconstruction: x_i ~= scales_i * codes_i; norms are exact (from f32).
     """
+    lim, dtype = {8: (127.0, jnp.int8), 16: (32767.0, jnp.int16)}[bits]
     xf = x.astype(jnp.float32)
     if metric == "cosine":
         xf = normalize(xf)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scales = jnp.maximum(amax, 1e-12) / 127.0
-    codes = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127).astype(jnp.int8)
+    scales = jnp.maximum(amax, 1e-12) / lim
+    codes = jnp.clip(jnp.round(xf / scales[..., None]), -lim, lim).astype(dtype)
     norms = sq_norms(xf) if metric == "l2" else jnp.zeros(xf.shape[:-1], jnp.float32)
     return codes, scales, norms
 

@@ -109,8 +109,9 @@ class ShardedPQFlat:
         else:
             norms = jnp.zeros((s * per,), jnp.float32)
         norms = jnp.where(jnp.asarray(ids.reshape(-1)) >= 0, norms, jnp.inf)
-        if cfg.refine == "int8":
-            rrows, rscales, _ = D.quantize_corpus(xf, cfg.metric)
+        if cfg.refine in ("int8", "int16"):
+            rrows, rscales, _ = D.quantize_corpus(
+                xf, cfg.metric, bits=8 if cfg.refine == "int8" else 16)
         elif cfg.refine == "none":
             rrows = jnp.zeros((s * per, 0), jnp.float32)
             rscales = jnp.ones((s * per,), jnp.float32)
@@ -402,7 +403,7 @@ class ShardedPQFlat:
         rr, cc = np.unravel_index(locs, grid.shape)
         if self.cfg.refine != "none":
             vecs = np.asarray(self.state["refine"])[rr, cc].astype(np.float32)
-            if self.cfg.refine == "int8":
+            if self.cfg.refine in ("int8", "int16"):
                 vecs = vecs * np.asarray(self.state["r_scales"])[rr, cc][:, None]
             return vecs
         codes = jnp.asarray(np.asarray(self.state["codes"])[rr, cc])
@@ -457,7 +458,7 @@ class ShardedPQFlat:
                 if cfg.refine != "none":
                     safe = jnp.maximum(pi, 0)
                     cand = jnp.take(rv, safe, axis=0).astype(jnp.float32)
-                    if cfg.refine == "int8":
+                    if cfg.refine in ("int8", "int16"):
                         cand = cand * jnp.take(rs, safe)[..., None]
                     dots = jnp.einsum("bd,bcd->bc", qs, cand,
                                       preferred_element_type=jnp.float32,

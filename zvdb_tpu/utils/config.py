@@ -126,8 +126,10 @@ class PQConfig:
 
     The memory-scaling engine: n_sub bytes/vector of PQ codes (vs D bytes
     int8, 4D bytes f32). Defaults give the high-recall configuration —
-    PQ scan + int8 refine rerank — at (n_sub + dim + 4) bytes/vector; set
-    refine="none" for the pure-codes footprint (n_sub + 4 bytes/vector,
+    PQ scan + int16 refine rerank — at (n_sub + 2*dim + 8) bytes/vector;
+    refine="int8" for max compression (n_sub + dim + 8 — measured 1M x 128d
+    wall at 0.9594 recall from rescore near-tie flips, PERF.md round 4) or
+    refine="none" for the pure-codes floor (n_sub + 4 bytes/vector,
     recall bounded by quantization error; measure before choosing)."""
 
     dim: int
@@ -154,9 +156,13 @@ class PQConfig:
     precision: str = "high"
     # Selection recall floor for the hardware approx top-k scan pass.
     recall_target: float = 0.95
-    # Refine store for the exact rerank pass: "int8" (D+4 bytes/vector,
-    # near-exact), "float32"/"bfloat16" (exact / half), "none" (codes only).
-    refine: str = "int8"
+    # Refine store for the exact rerank pass: "int16" (2D+4 bytes/vector —
+    # per-vector symmetric quantization at +-32767 levels, ~2^-15 relative
+    # error: rescore-exact where bf16's 8-bit mantissa reads 0.9876 and
+    # int8 walls at 0.9594 on 1M x 128d), "bfloat16" (2D), "float32" (4D,
+    # exact — 0.9991, matches the flat engine), "int8" (D+4, max
+    # compression), "none" (codes only).
+    refine: str = "int16"
     # Candidates per result entering the refine rerank (refine != "none").
     rerank: int = 8
     # Codebook training: sample size and Lloyd iterations. Codebooks are
@@ -220,7 +226,8 @@ class PQConfig:
                 f"dim ({self.dim}) must be divisible by n_sub ({self.n_sub})")
         if not 2 <= self.n_codes <= 256:
             raise ValueError("n_codes must be in [2, 256] (codes are uint8)")
-        if self.refine not in ("none", "int8", "float32", "bfloat16"):
+        if self.refine not in ("none", "int8", "int16", "float32",
+                               "bfloat16"):
             raise ValueError(f"invalid refine {self.refine!r}")
         if self.scan not in ("xla", "pallas"):
             raise ValueError(f"scan must be 'xla' or 'pallas', got {self.scan!r}")
@@ -253,13 +260,13 @@ class PQConfig:
 
     @property
     def refine_dtype(self):
-        return {"int8": jnp.int8, "float32": jnp.float32,
+        return {"int8": jnp.int8, "int16": jnp.int16, "float32": jnp.float32,
                 "bfloat16": jnp.bfloat16, "none": jnp.float32}[self.refine]
 
     @property
     def bytes_per_vector(self) -> int:
         """Device bytes per vector (codes + norm + refine store)."""
-        refine = {"none": 0, "int8": self.dim + 4,
+        refine = {"none": 0, "int8": self.dim + 4, "int16": 2 * self.dim + 4,
                   "float32": 4 * self.dim, "bfloat16": 2 * self.dim}[self.refine]
         return self.codes_width + 4 + refine
 
