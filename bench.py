@@ -15,7 +15,7 @@ Engines measured (all part of zvdb-tpu):
            build is the all-MXU oneshot cluster-kNN construction).
   cagra  — single-layer fixed-degree graph, centroid-seeded beam, packed
            one-gather scoring rows (the fast graph engine).
-  pq     — product-quantized scan + bf16 refine rerank (measured at the 1M
+  pq     — product-quantized scan + int16 refine rerank (measured at the 1M
            config only: the memory-scaling engine, 20 B/vec codes).
 
 Graph-engine builds are timed WARM (same-shape rebuild after a first build
@@ -87,10 +87,11 @@ def run_pq_scale(scale_n: int, k: int = 10):
 
     ds, nqs = 96, 2048
     chunk_n = min(2_000_000, scale_n)   # small values = smoke mode
-    # bf16 refine store: the rescore-precision fix (PERF.md round-4 — int8
-    # refine walls recall; bf16 is faster AND higher). 220 B/row at 96d.
+    # int16 refine store: the rescore-precision fix (PERF.md round-4 — int8
+    # refine walls recall at 0.9351 @ 30M, bf16 at 0.9808; int16 is
+    # f32-grade). 224 B/row at 96d.
     scfg = PQConfig(dim=ds, n_sub=48, n_codes=16, scan="pallas",
-                    scan_precision="int8", refine="bfloat16", rerank=16,
+                    scan_precision="int8", refine="int16", rerank=16,
                     l_bins=1024, per_bin=2,
                     train_sample=min(131072, chunk_n))
     sidx = PQFlatIndex(scfg, capacity=scale_n)
@@ -581,14 +582,14 @@ def main():
                 for lo in range(0, nq, 2048)
             ])
             del oracle
-        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq2/pq6,
+        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq6/pq7,
         # docs/PERF.md "Round-4 PQ on hardware"): 4-bit codes, fused Pallas
         # ADC scan on the int8 MXU path, per-bin top-2 fold, rerank=16,
-        # bf16 refine store (the rescore-precision fix: int8 refine walls at
-        # 0.9594; bf16 reads 0.9876 @ 118k and is FASTER) — 276 B/row vs
-        # flat's 512 (the r3 config read 0.60 @ 22k).
+        # int16 refine store (the rescore-precision fix: int8 refine walls
+        # at 0.9594, bf16 at 0.9876; int16 reads 0.9990 @ 115k — f32-grade
+        # rescore at 280 B/row vs flat's 512; the r3 config read 0.60 @ 22k).
         pq_cfg = PQConfig(dim=d, n_sub=32, n_codes=16, scan="pallas",
-                          scan_precision="int8", refine="bfloat16",
+                          scan_precision="int8", refine="int16",
                           rerank=16, l_bins=1024, per_bin=2, metric=metric)
         xd1 = jax.device_put(x1)
         jax.block_until_ready(xd1)

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG1 = -1
 
 
-def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
+def _pq_kernel(lut_ref, scale_ref, codes_ref, n_ref, shift_ref, code_ref,
                out_s_ref, out_i_ref, best_s, best_i, *,
                l_bins: int, metric: str, precision: str, per_bin: int,
                chunks_per_seg: int):
@@ -71,7 +71,10 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
     lo = rep & 0xF
     hi = (rep >> 4) & 0xF
     val = jnp.where(shift_ref[:, 0:1] > 0, hi, lo)       # [sc, chunk]
-    oh = (val == code_ref[:, 0:1]).astype(jnp.bfloat16)  # [sc, chunk]
+    # one-hot lands directly in the matmul operand dtype (int8 path: no
+    # bf16 intermediate + convert per grid step)
+    oh_dtype = jnp.int8 if precision == "int8" else jnp.bfloat16
+    oh = (val == code_ref[:, 0:1]).astype(oh_dtype)      # [sc, chunk]
 
     # --- ADC scoring: one fat MXU matmul ----------------------------------
     def dot(a, b):
@@ -87,19 +90,16 @@ def _pq_kernel(lut_ref, codes_ref, n_ref, shift_ref, code_ref,
         l_lo = (lut - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dots = dot(l_hi, oh) + dot(l_lo, oh)             # [bq, chunk]
     elif precision == "int8":
-        # int8 MXU path (2x the bf16 rate on v5e): per-query symmetric LUT
-        # quantization — scale = max|lut_q| / 127. Worst-case per-term error
-        # scale/2 sums to ~1.6% of max|lut| rms over 32 subspaces; the PQ
-        # quantization error is larger and the refine rerank repairs both.
-        lut = lut_ref[:]
-        scale = jnp.max(jnp.abs(lut), axis=1, keepdims=True) / 127.0
-        lut_i = jnp.round(lut / scale).astype(jnp.int8)
-        oh_i = oh.astype(jnp.int8)
+        # int8 MXU path (2x the bf16 rate on v5e). The LUT arrives
+        # pre-quantized (pq_scan_bins quantizes ONCE per batch — doing it
+        # here re-ran the max/divide/round over [bq, sc] on every one of
+        # the n_q_tiles*n_chunks grid steps); scale_ref carries the
+        # per-query dequant scales in its first column.
         dots_i = jax.lax.dot_general(
-            lut_i, oh_i, dimension_numbers=(((1,), (0,)), ((), ())),
+            lut_ref[:], oh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        dots = dots_i.astype(jnp.float32) * scale
+        dots = dots_i.astype(jnp.float32) * scale_ref[:, 0:1]
     else:
         dots = dot(lut_ref[:].astype(jnp.bfloat16), oh)
     factor = 2.0 if metric == "l2" else 1.0
@@ -224,6 +224,17 @@ def pq_scan_bins(
     assert chunk % l_bins == 0, "chunk must be a multiple of l_bins"
 
     lut_k = permute_lut(lut, n_sub)        # [B, SC]
+    if precision == "int8":
+        # per-query symmetric LUT quantization, ONCE per batch (the kernel
+        # used to redo this every grid step): scale = max|lut_q| / 127.
+        # Worst-case per-term error scale/2 sums to ~1.6% of max|lut| rms
+        # over 32 subspaces; the PQ quantization error is larger and the
+        # engine's refine rerank repairs both.
+        scales = jnp.max(jnp.abs(lut_k), axis=1, keepdims=True) / 127.0
+        lut_k = jnp.round(lut_k / scales).astype(jnp.int8)
+        scales = jnp.broadcast_to(scales, (b, 128))
+    else:
+        scales = jnp.ones((b, 128), jnp.float32)
     shift_col, code_col = _layout_consts(n_sub)
 
     bq = min(bq_tile, -(-max(8, b) // 8) * 8)
@@ -238,6 +249,7 @@ def pq_scan_bins(
     pb = -(-b // bq) * bq - b
     pn = -(-n // chunk) * chunk - n
     lut_p = jnp.pad(lut_k, ((0, pb), (0, 0)))
+    scales_p = jnp.pad(scales, ((0, pb), (0, 0)))
     codes_p = jnp.pad(codes_t, ((0, 0), (0, pn)))
     norms_p = jnp.pad(norms.astype(jnp.float32), (0, pn),
                       constant_values=jnp.inf).reshape(1, -1)
@@ -261,6 +273,8 @@ def pq_scan_bins(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bq, sc), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, chunk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -291,7 +305,7 @@ def pq_scan_bins(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lut_p, codes_p, norms_p, shift_col, code_col)
+    )(lut_p, scales_p, codes_p, norms_p, shift_col, code_col)
     return bin_s[:b], bin_i[:b]
 
 

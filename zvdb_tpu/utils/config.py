@@ -158,9 +158,9 @@ class PQConfig:
     recall_target: float = 0.95
     # Refine store for the exact rerank pass: "int16" (2D+4 bytes/vector —
     # per-vector symmetric quantization at +-32767 levels, ~2^-15 relative
-    # error: rescore-exact where bf16's 8-bit mantissa reads 0.9876 and
-    # int8 walls at 0.9594 on 1M x 128d), "bfloat16" (2D), "float32" (4D,
-    # exact — 0.9991, matches the flat engine), "int8" (D+4, max
+    # error: measured 0.9990 @ 1M x 128d where bf16's 8-bit mantissa reads
+    # 0.9876, int8 walls at 0.9594, and f32 reads 0.9991 at 2x the bytes),
+    # "bfloat16" (2D), "float32" (4D, exact), "int8" (D+4, max
     # compression), "none" (codes only).
     refine: str = "int16"
     # Candidates per result entering the refine rerank (refine != "none").
