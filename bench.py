@@ -582,15 +582,18 @@ def main():
                 for lo in range(0, nq, 2048)
             ])
             del oracle
-        # Measured round-4 winner (exp_r4_batch1 stage 1 + exp_r4_pq6/pq7,
-        # docs/PERF.md "Round-4 PQ on hardware"): 4-bit codes, fused Pallas
-        # ADC scan on the int8 MXU path, per-bin top-2 fold, rerank=16,
-        # int16 refine store (the rescore-precision fix: int8 refine walls
-        # at 0.9594, bf16 at 0.9876; int16 reads 0.9990 @ 115k — f32-grade
-        # rescore at 280 B/row vs flat's 512; the r3 config read 0.60 @ 22k).
-        pq_cfg = PQConfig(dim=d, n_sub=32, n_codes=16, scan="pallas",
+        # Measured round-4 winner (exp_r4_pq6/7/9 + pq9b, docs/PERF.md
+        # "Round-4 PQ on hardware"): 4-bit ns16 codes (half the ADC matmul
+        # width of ns32 — same recall once the rescore is exact), fused
+        # Pallas ADC scan on the int8 MXU path, per-bin top-2 fold, int16
+        # refine store (the rescore-precision fix: int8 refine walls at
+        # 0.9594, bf16 at 0.9876; int16 is f32-grade), rerank=12 (the
+        # measured knee: rr8 cliffs to 0.894, rr16 reads 0.9987 @ 124.8k).
+        # -> 0.9984 @ 135.0k QPS at 272 B/row vs flat's 512 (the r3 config
+        # read 0.60 @ 22k).
+        pq_cfg = PQConfig(dim=d, n_sub=16, n_codes=16, scan="pallas",
                           scan_precision="int8", refine="int16",
-                          rerank=16, l_bins=1024, per_bin=2, metric=metric)
+                          rerank=12, l_bins=1024, per_bin=2, metric=metric)
         xd1 = jax.device_put(x1)
         jax.block_until_ready(xd1)
         warm = PQFlatIndex(pq_cfg)
