@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=1_000_000)
     ap.add_argument("--n-sub", type=int, default=48)
     ap.add_argument("--nq", type=int, default=1024)
-    ap.add_argument("--seg-rows", type=int, default=4_000_000)
+    ap.add_argument("--seg-rows", type=int, default=4 * 1024 * 1024)
     ap.add_argument("--rrs", default="64,128,256")
     args = ap.parse_args()
     assert args.n % args.chunk == 0
