@@ -231,6 +231,19 @@ def test_ivf_search_range_matches_oracle():
     np.testing.assert_array_equal(c8, c2)
     for b in range(32):
         assert set(i8[b][i8[b] >= 0]) == set(i2[b][i2[b] >= 0])
+    # LARGE radius on int8: the rerank shadow store is zero-initialized and
+    # padded past n — padding rows must never scan as live zero vectors
+    # (advisor r4 high: counts inflated by rcap-n at radius >= ||q||^2, and
+    # phantom ids >= n could enter results)
+    rbig = float((q ** 2).sum(1).max()) + 10.0
+    sb, ib, cb = (np.asarray(v)
+                  for v in idx8.search_range(q, rbig, max_results=64))
+    np.testing.assert_array_equal(cb, (d2m <= rbig).sum(1))
+    assert ib.max() < n
+    # ...and the int8 filtered masked-scan path has the same live-count gate
+    _, iflt = idx8.search(q[:8], 5, allowed=np.arange(n))
+    iflt = np.asarray(iflt)
+    assert iflt.max() < n and (iflt >= 0).all()
     # int8 WITHOUT a shadow store cannot answer exactly -> explicit error
     idx8n = IVFIndex(IVFConfig(dim=d, n_clusters=16, dtype="int8", rerank=0))
     idx8n.build(x)

@@ -32,15 +32,22 @@ def _recall(ids, gt):
 
 
 def test_refine_rerank_recall(data):
-    """int8 refine repairs PQ ranking: >=0.95 recall@10 where the pure-codes
-    scan is quantization-limited (measured 0.487 at dsub=4 on this data —
-    selection verified exact against a brute-force scan of the decoded
-    corpus, so the gap IS the quantization, not the engine)."""
+    """Refine rerank repairs PQ ranking where the pure-codes scan is
+    quantization-limited (measured 0.487 pure-codes at 8-bit dsub=4 on this
+    data — selection verified exact against a brute-force scan of the
+    decoded corpus, so the gap IS the quantization, not the engine).
+    8-bit codes: >=0.95. The 4-bit default (half the code bytes) reads
+    ~0.94 on this deliberately hard tiny fixture (dsub=4 at 16 codewords;
+    the production measurement is 0.9984 at 1M x 128d, PERF.md round 4)."""
     x, q = data
     _, gt = exact_ground_truth(x, q, 10)
-    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096))
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, n_codes=256,
+                               train_sample=4096))
     idx.build(x)
     assert _recall(idx.search(q, 10)[1], gt) > 0.95
+    idx4 = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096))
+    idx4.build(x)
+    assert _recall(idx4.search(q, 10)[1], gt) > 0.9
 
 
 @pytest.mark.parametrize("refine", ["int8", "int16", "bfloat16", "float32"])
@@ -51,7 +58,7 @@ def test_refine_dtypes(data, refine, tmp_path):
     rides npz as a uint16 view, int16 natively)."""
     x, q = data
     _, gt = exact_ground_truth(x, q, 10)
-    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, refine=refine,
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, n_codes=256, refine=refine,
                                train_sample=4096))
     idx.build(x)
     assert _recall(idx.search(q, 10)[1], gt) > 0.95
@@ -74,8 +81,10 @@ def test_pure_codes_recall_scales_with_subspaces(data):
     _, gt = exact_ground_truth(x, q, 10)
     r = {}
     for ns in (8, 32):
-        idx = PQFlatIndex(PQConfig(dim=32, n_sub=ns, refine="none",
-                                   train_sample=4096))
+        # n_codes pinned to 256: this test measures 8-bit code resolution
+        # scaling (the default is now the 4-bit/pallas winner)
+        idx = PQFlatIndex(PQConfig(dim=32, n_sub=ns, n_codes=256,
+                                   refine="none", train_sample=4096))
         idx.build(x)
         r[ns] = _recall(idx.search(q, 10)[1], gt)
     assert r[8] > 0.35
@@ -94,8 +103,12 @@ def test_metrics(data, metric):
 
 
 def test_self_hit_and_get(data):
+    # 8-bit codes: self-hit through the refine pool is near-perfect; the
+    # 4-bit default on this tiny dsub=4 fixture has many bit-identical rows
+    # whose exact rescores tie (covered by test_pq4_pallas_engine_end_to_end)
     x, _ = data
-    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, train_sample=4096))
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=8, n_codes=256,
+                               train_sample=4096))
     idx.build(x)
     _, i = idx.search(x[:100], 1)
     assert np.mean(np.asarray(i)[:, 0] == np.arange(100)) > 0.98
@@ -106,7 +119,7 @@ def test_self_hit_and_get(data):
 
 def test_get_without_refine_is_pq_reconstruction(data):
     x, _ = data
-    idx = PQFlatIndex(PQConfig(dim=32, n_sub=16, refine="none",
+    idx = PQFlatIndex(PQConfig(dim=32, n_sub=16, n_codes=256, refine="none",
                                train_sample=4096))
     idx.build(x)
     g = idx.get(np.arange(50))
@@ -211,14 +224,19 @@ def test_tiled_scan_matches_untiled(data):
 
 
 def test_bytes_per_vector_accounting():
+    # defaults are the 4-bit winner: nibble-packed codes = n_sub/2 bytes
     cfg = PQConfig(dim=128, n_sub=16)                    # int16 refine default
-    assert cfg.bytes_per_vector == 16 + 4 + 256 + 4
+    assert cfg.bytes_per_vector == 8 + 4 + 256 + 4
     cfg = PQConfig(dim=128, n_sub=16, refine="none")
-    assert cfg.bytes_per_vector == 16 + 4
+    assert cfg.bytes_per_vector == 8 + 4
     cfg = PQConfig(dim=128, n_sub=16, refine="bfloat16")
-    assert cfg.bytes_per_vector == 16 + 4 + 256
+    assert cfg.bytes_per_vector == 8 + 4 + 256
     cfg = PQConfig(dim=128, n_sub=16, refine="int8")
-    assert cfg.bytes_per_vector == 16 + 4 + 128 + 4
+    assert cfg.bytes_per_vector == 8 + 4 + 128 + 4
+    # classic one-byte codes
+    cfg = PQConfig(dim=128, n_sub=16, n_codes=256)
+    assert cfg.bytes_per_vector == 16 + 4 + 256 + 4
+    assert cfg.scan == "xla"      # auto resolves off the kernel path
 
 
 # ---------------------------------------------------------------- OPQ
@@ -243,7 +261,9 @@ def aniso_data():
 def _build_pair(x, **kw):
     out = {}
     for opq in (False, True):
-        idx = PQFlatIndex(PQConfig(dim=x.shape[1], n_sub=8,
+        # 8-bit codes: the OPQ assertions are about rotation quality at the
+        # classic code resolution, not the 4-bit default
+        idx = PQFlatIndex(PQConfig(dim=x.shape[1], n_sub=8, n_codes=256,
                                    train_sample=4096, opq=opq, **kw))
         idx.build(x)
         out[opq] = idx

@@ -38,6 +38,10 @@ def corpus():
 
 
 def _mk(d=32, refine="int8", **kw):
+    # n_codes pinned to 256: these fixtures deliberately use coarse dsub=4
+    # subspaces to exercise refine-repair at the classic 8-bit resolution
+    # (4-bit coverage: test_pq.py's pq4 block + the winner-default tests)
+    kw.setdefault("n_codes", 256)
     cfg = PQConfig(dim=d, n_sub=8, refine=refine, rerank=8,
                    train_sample=2048, tile_n=1024, **kw)
     return ShardedPQFlat(cfg, mesh=make_mesh(n_shards=4))
@@ -84,7 +88,7 @@ def test_add_routes_and_searches(corpus):
 def test_add_trains_on_first_flush():
     x = clustered(3000, 16, seed=3)
     idx = ShardedPQFlat(
-        PQConfig(dim=16, n_sub=4, refine="int8", rerank=8,
+        PQConfig(dim=16, n_sub=4, n_codes=256, refine="int8", rerank=8,
                  train_sample=1024, tile_n=512),
         mesh=make_mesh(n_shards=4))
     idx.add(x)
@@ -95,7 +99,7 @@ def test_add_trains_on_first_flush():
 def test_growth_past_capacity():
     x = clustered(4000, 16, seed=5)
     idx = ShardedPQFlat(
-        PQConfig(dim=16, n_sub=4, refine="int8", rerank=8,
+        PQConfig(dim=16, n_sub=4, n_codes=256, refine="int8", rerank=8,
                  train_sample=1024, tile_n=512),
         mesh=make_mesh(n_shards=4))
     idx.build(x[:1000])
@@ -201,7 +205,7 @@ def test_refine_none_codes_only(corpus):
     idx.build(x)
     _, ids = idx.search(q, 10)
     r = recall_at_k(np.asarray(ids), gt, 10)
-    ref = PQFlatIndex(PQConfig(dim=32, n_sub=8, refine="none",
+    ref = PQFlatIndex(PQConfig(dim=32, n_sub=8, n_codes=256, refine="none",
                                train_sample=2048, tile_n=1024))
     ref.build(x)
     _, rid = ref.search(q, 10)

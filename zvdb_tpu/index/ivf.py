@@ -1243,7 +1243,9 @@ class IVFIndex:
                     ok = jnp.take(jnp.pad(av, (0, max(0, nr - av.shape[0])),
                                           constant_values=False),
                                   jnp.arange(nr))
-                    ok = ok & (st.rerank_norms < INF)
+                    # explicit live-count gate (shadow norms are 0, not +inf,
+                    # for uningested rows — do not rely on the av padding)
+                    ok = ok & (jnp.arange(nr, dtype=jnp.int32) < st.n)
                     if self._dead:
                         dead = np.fromiter(self._dead, np.int64,
                                            len(self._dead))
@@ -1317,7 +1319,11 @@ class IVFIndex:
                     nr = st.rerank_vecs.shape[0]
                     cb, bn = st.rerank_vecs, st.rerank_norms
                     bi = jnp.arange(nr, dtype=jnp.int32)
-                    bi = jnp.where(bn < INF, bi, -1)
+                    # live-count gate: the shadow store is zero-initialized,
+                    # so padding rows n..nr-1 have norms 0 (< INF) and would
+                    # otherwise scan as valid zero vectors, inflating counts
+                    # by nr-n at large radii (advisor r4, high)
+                    bi = jnp.where(bi < st.n, bi, -1)
                     if self._dead:
                         dead = np.fromiter(self._dead, np.int64,
                                            len(self._dead))

@@ -230,7 +230,10 @@ def pq_scan_bins(
         # Worst-case per-term error scale/2 sums to ~1.6% of max|lut| rms
         # over 32 subspaces; the PQ quantization error is larger and the
         # engine's refine rerank repairs both.
-        scales = jnp.max(jnp.abs(lut_k), axis=1, keepdims=True) / 127.0
+        # floor the scale: an all-zero LUT row (zero query vs zero codebooks)
+        # would otherwise give scale 0 and round(0/0)=NaN codes
+        scales = jnp.maximum(
+            jnp.max(jnp.abs(lut_k), axis=1, keepdims=True), 1e-30) / 127.0
         lut_k = jnp.round(lut_k / scales).astype(jnp.int8)
         scales = jnp.broadcast_to(scales, (b, 128))
     else:

@@ -15,6 +15,20 @@ Metric = str  # "l2" | "dot" | "cosine"
 
 _VALID_METRICS = ("l2", "dot", "cosine")
 
+_ON_TPU: Optional[bool] = None
+
+
+def _on_tpu() -> bool:
+    """Whether the default JAX backend is a TPU (cached — the first backend
+    touch pays the per-process device init, ~100-150 s through the axon
+    relay; never pay it twice, and never pay it at import time)."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        import jax
+
+        _ON_TPU = jax.default_backend() == "tpu"
+    return _ON_TPU
+
 
 @dataclasses.dataclass(frozen=True)
 class HNSWConfig:
@@ -124,13 +138,17 @@ class HNSWConfig:
 class PQConfig:
     """Product-quantized flat index config (index/pqflat.py, ops/pq.py).
 
-    The memory-scaling engine: n_sub bytes/vector of PQ codes (vs D bytes
-    int8, 4D bytes f32). Defaults give the high-recall configuration —
-    PQ scan + int16 refine rerank — at (n_sub + 2*dim + 8) bytes/vector;
-    refine="int8" for max compression (n_sub + dim + 8 — measured 1M x 128d
-    wall at 0.9594 recall from rescore near-tie flips, PERF.md round 4) or
-    refine="none" for the pure-codes floor (n_sub + 4 bytes/vector,
-    recall bounded by quantization error; measure before choosing)."""
+    The memory-scaling engine: n_sub/2 bytes/vector of nibble-packed 4-bit
+    PQ codes (vs D bytes int8, 4D bytes f32). Defaults ARE the measured
+    round-4 winner (1M x 128d: 0.9984 recall@10 at 135k QPS/chip,
+    docs/PERF.md "Round-4 PQ on hardware"): 4-bit codes, fused Pallas ADC
+    scan on the int8 MXU path when running on TPU (scan="auto"; XLA
+    decode-scan off-TPU), int16 refine rerank at rerank=12 — (n_sub/2 +
+    2*dim + 8) bytes/vector. refine="int8" is the max-compression option
+    (n_sub/2 + dim + 8 — measured 1M x 128d wall at 0.9594 recall from
+    rescore near-tie flips, PERF.md round 4); refine="none" is the
+    pure-codes floor (recall bounded by quantization error; measure before
+    choosing). n_codes=256 restores classic one-byte codes (XLA scan)."""
 
     dim: int
     metric: Metric = "l2"
@@ -139,13 +157,16 @@ class PQConfig:
     # linearly more memory. dsub = dim/n_sub of 8 is the classic operating
     # point for 8-bit codes; 4-bit codes pair with dsub of 4 (n_sub = dim/4).
     n_sub: int = 16
-    # Codewords per subspace. 256 keeps codes one byte; <= 16 stores two
-    # codes per byte (nibble-packed — half the memory) and unlocks the fused
-    # Pallas scan (scan="pallas"), whose one-hot ADC matmul is 16x narrower
-    # than the 8-bit one-hot (the round-3 measured FLOP wall). The recall
-    # lost to coarser codewords is made back with more subspaces: 4-bit
-    # n_sub=32 stores the same 16 B/vector as 8-bit n_sub=16.
-    n_codes: int = 256
+    # Codewords per subspace. <= 16 stores two codes per byte (nibble-packed
+    # — half the memory) and unlocks the fused Pallas scan (scan="pallas"),
+    # whose one-hot ADC matmul is 16x narrower than the 8-bit one-hot (the
+    # round-3 measured FLOP wall); 256 keeps classic one-byte codes (XLA
+    # scan only). The recall lost to coarser codewords is made back with
+    # more subspaces (4-bit n_sub=32 stores the same 16 B/vector as 8-bit
+    # n_sub=16) — and with the int16 refine store the rescore is exact, so
+    # HALF the code bytes measured BETTER at 1M (ns16 4-bit: 0.9984 @ 135k
+    # vs ns32's 0.9990 @ 115k).
+    n_codes: int = 16
     # Corpus rows per scan tile. Smaller than FlatConfig's 131072: the
     # decode step materializes a [tile, n_sub, n_codes] one-hot block
     # (tile=16384, S=16, C=256 -> 268 MB f32), so the tile bounds it.
@@ -164,7 +185,9 @@ class PQConfig:
     # compression), "none" (codes only).
     refine: str = "int16"
     # Candidates per result entering the refine rerank (refine != "none").
-    rerank: int = 8
+    # 12 is the measured 1M knee with the int16 store (rr8 cliffs to 0.894,
+    # rr16 reads 0.9987 at -8% QPS).
+    rerank: int = 12
     # Codebook training: sample size and Lloyd iterations. Codebooks are
     # trained once on the first build/add and FROZEN; later adds encode
     # against them (re-training would re-encode the whole corpus).
@@ -182,21 +205,28 @@ class PQConfig:
     opq_iters: int = 8
     seed: int = 0
     # Scan implementation for the codes pass:
+    #   "auto"   — "pallas" when running on TPU and the config is
+    #              kernel-compatible (n_codes <= 16, n_sub % 8 == 0,
+    #              pallas_chunk % l_bins == 0), else "xla". Resolved once
+    #              at construction; the resolved value is what persists.
     #   "xla"    — lax.scan decode-tiles + approx top-k (any n_codes).
     #   "pallas" — fused ADC kernel (ops/pallas_pq.py): one-hot built in
     #              VMEM, one bf16 MXU matmul per chunk, bin-fold selection.
     #              Requires n_codes <= 16 and n_sub % 8 == 0 (nibble layout).
-    scan: str = "xla"
+    #              Off-TPU it runs in interpret mode (correct, slow).
+    scan: str = "auto"
     # Pallas scan matmul precision: "default" = one bf16 pass (PQ
     # quantization error dominates bf16 rounding; the refine rerank repairs
     # ranking), "high" = hi/lo LUT split, two bf16 passes, "int8" = per-query
     # symmetric LUT quantization on the int8 MXU path (2x bf16 rate on v5e;
-    # ~1.6% rms score noise — below the 4-bit code error, rerank repairs).
-    scan_precision: str = "default"
+    # ~1.6% rms score noise — below the 4-bit code error, rerank repairs;
+    # measured +14% QPS over bf16 at 1M).
+    scan_precision: str = "int8"
     # Pallas path: per-query bin count (selection recall ~ L/k*(1-(1-1/L)^k);
     # must be >= k*rerank so the refine pool survives) and corpus rows per
-    # kernel chunk (multiple of l_bins).
-    l_bins: int = 256
+    # kernel chunk (multiple of l_bins). 1024 is the measured 1M winner
+    # (512 capped recall at 0.9135 via bin collisions).
+    l_bins: int = 1024
     pallas_chunk: int = 1024
     pallas_bq: int = 512
     # Rows kept per bin (1 or 2). With N/l_bins rows competing per bin, a
@@ -229,8 +259,23 @@ class PQConfig:
         if self.refine not in ("none", "int8", "int16", "float32",
                                "bfloat16"):
             raise ValueError(f"invalid refine {self.refine!r}")
-        if self.scan not in ("xla", "pallas"):
-            raise ValueError(f"scan must be 'xla' or 'pallas', got {self.scan!r}")
+        if self.scan not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"scan must be 'auto', 'xla' or 'pallas', got {self.scan!r}")
+        if self.scan == "auto":
+            # resolve once: the fused kernel on TPU when the config is
+            # kernel-compatible, the XLA decode-scan everywhere else (the
+            # interpret-mode kernel is correct but slow off-TPU). The
+            # resolved value is what dataclasses.asdict persists, so a
+            # TPU-built index loaded on CPU keeps scan="pallas" and runs
+            # interpret — deliberate: results stay bit-comparable.
+            ok = (self.n_codes <= 16 and self.n_sub % 8 == 0
+                  and self.pallas_chunk % self.l_bins == 0
+                  and self.per_bin in (1, 2)
+                  and (self.seg_rows == 0
+                       or self.seg_rows % self.pallas_chunk == 0))
+            object.__setattr__(
+                self, "scan", "pallas" if ok and _on_tpu() else "xla")
         if self.scan == "pallas":
             if self.n_codes > 16:
                 raise ValueError("scan='pallas' requires n_codes <= 16")
