@@ -16,14 +16,20 @@ Engines measured (all part of zvdb-tpu):
   cagra  — single-layer fixed-degree graph, centroid-seeded beam, packed
            one-gather scoring rows (the fast graph engine).
   pq     — product-quantized scan + int16 refine rerank (measured at the 1M
-           config only: the memory-scaling engine, 20 B/vec codes).
+           config only: the memory-scaling engine, 12 B/vec codes).
 
 Graph-engine builds are timed WARM (same-shape rebuild after a first build
 that pays the one-off XLA compilations — the reference's Zig build has no
 compile stage to amortize, and its search timing convention likewise excludes
 setup; benchmarks/shared_benchmarks.zig:90-113).
 
-Prints exactly ONE JSON line on stdout.
+Robust reporting (the round-4 lesson: a slow-relay driver timeout produced
+rc=124 with NO parseable output): the cumulative result JSON line is emitted
+after EVERY completed section — the last complete line wins — and the
+round-flagship 1M rows (pq_1m, cagra_1m) run right after the cheap 100k flat
+row, before the expensive remaining sections. Search QPS is best-of-2 with
+both per-run samples recorded (qps_runs), matching the builds' discipline
+(relay run-to-run variance is +-2x).
 """
 import json
 import os
@@ -48,9 +54,10 @@ def timed_qps(search_fn, q, batch, reps=6):
     Query batches are staged on-device first: a 5 MB host->device copy through
     the relay costs tens of ms and would otherwise dominate the measurement
     (serving pipelines keep queries device-resident). Best of two timing
-    passes: the shared relay's run-to-run variance is +-2x (worse for
-    latency-sensitive programs) and a one-shot sample regularly lands in a
-    congestion window."""
+    passes with BOTH samples returned: the shared relay's run-to-run variance
+    is +-2x and a one-shot sample regularly lands in a congestion window.
+
+    Returns (best_qps, [run1_qps, run2_qps])."""
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +66,7 @@ def timed_qps(search_fn, q, batch, reps=6):
         for lo in range(0, q.shape[0], batch)
     ]
     jax.block_until_ready(staged)
-    best = 0.0
+    runs = []
     for _pass in range(2):
         outs = []
         t0 = time.perf_counter()
@@ -68,8 +75,88 @@ def timed_qps(search_fn, q, batch, reps=6):
                 outs.append(search_fn(qb))
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
-        best = max(best, reps * q.shape[0] / dt)
-    return best
+        runs.append(round(reps * q.shape[0] / dt, 1))
+    return max(runs), runs
+
+
+def emit(results):
+    """Print the cumulative machine-readable result line (stdout, flushed).
+
+    Called after every completed section so a driver timeout mid-run still
+    leaves the last complete snapshot parseable; the final call is the full
+    result. Headline = best 100k-protocol engine clearing the recall target
+    (1M/scale rows are reported alongside in `engines`)."""
+    results_100k = {k2: v2 for k2, v2 in results.items() if "_" not in k2}
+    pool = results_100k or results
+    best_name, best = max(
+        ((name, r) for name, r in pool.items()
+         if r["recall"] >= TARGET_RECALL),
+        key=lambda kv: kv[1]["qps"],
+        default=(None, None),
+    )
+    if best is None:
+        best_name, best = max(pool.items(), key=lambda kv: kv[1]["recall"])
+
+    # build_pps is the device-resident (hardware-representative) number for
+    # the ivf/graph engines: the 51 MB corpus costs 1.15 s through this
+    # tunnel's 40 MB/s single-stream upload (measured floor — chunked and
+    # concurrent device_put do not beat it) vs ~5 ms on real v5e PCIe, and
+    # the reference's own protocol times inserts with data already in RAM.
+    # build_pps_hostcorpus keeps the upload in (flat's ingest IS the upload,
+    # so flat reports the host number as build_pps).
+    out = {
+        "metric": "qps_at_recall0.95@10_100k_128d_sift_like",
+        "value": round(best["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / REFERENCE_QPS, 2),
+        "engine": best_name,
+        "recall": round(best["recall"], 4),
+        "build_pts_per_sec": round(best["build_pps"], 1),
+        "build_pts_per_sec_hostcorpus": round(
+            best.get("build_pps_hostcorpus", best["build_pps"]), 1),
+        "build_vs_baseline": round(best["build_pps"] / REFERENCE_BUILD, 2),
+        "build_hostcorpus_vs_baseline": round(
+            best.get("build_pps_hostcorpus", best["build_pps"])
+            / REFERENCE_BUILD, 2),
+        "engines": {k2: {k3: (round(v3, 4) if isinstance(v3, float) else v3)
+                         for k3, v3 in v2.items()} for k2, v2 in results.items()},
+    }
+    print(json.dumps(out), flush=True)
+
+
+def corpus_1m(d, nq, k, n1=1_000_000):
+    """1M corpus + SELF-CONTAINED query stream + cached exact GT.
+
+    The query rng is its own stream (seed 777), NOT a continuation of the
+    100k section's — section reordering must never silently invalidate the
+    GT cache (the round-3 stale-cache lesson: /tmp gt files keyed by shape
+    alone burned a TPU hour at recall 0.0001). The cache name carries a
+    corpus fingerprint."""
+    import jax
+
+    from zvdb_tpu import FlatConfig, FlatIndex
+    from zvdb_tpu.io.datasets import synthetic_clustered
+
+    x1 = synthetic_clustered(n1, d, n_clusters=min(10_000, n1 // 10), seed=0)
+    qrng = np.random.default_rng(777)
+    q1 = (x1[qrng.integers(0, n1, nq)]
+          + 0.05 * qrng.standard_normal((nq, d))).astype(np.float32)
+    fp = int(abs(float(x1[::9973].sum())) * 997) % 10**9
+    gt1_cache = f"/tmp/zvdb_gt1m_v3_{n1}_{d}_{nq}_{k}_{fp}.npz"
+    if os.path.exists(gt1_cache):
+        gt1 = np.load(gt1_cache)["gt"]
+    else:
+        oracle = FlatIndex(
+            FlatConfig(dim=d, precision="highest", tile_n=262144),
+            capacity=n1)
+        oracle.add(x1)
+        gt1 = np.concatenate([
+            np.asarray(oracle.search(q1[lo:lo + 2048], k)[1])
+            for lo in range(0, nq, 2048)
+        ])
+        np.savez(gt1_cache, gt=gt1)
+        del oracle
+    return x1, q1, gt1
 
 
 def run_pq_scale(scale_n: int, k: int = 10):
@@ -131,16 +218,18 @@ def run_pq_scale(scale_n: int, k: int = 10):
     sb = time.perf_counter() - t0
     # rr128: the measured 30M winner (0.935 vs 0.774 at the cfg's rr16-era
     # depth for 6% QPS — PERF.md "Round-4 single-chip scale"; rr256 is
-    # recall-identical, the residual gap was the int8 refine precision,
-    # fixed by the bf16 refine store above)
+    # recall-identical; the residual gap was the int8 refine precision,
+    # fixed by the int16 refine store above — 0.9999 measured at 30M)
     rr = 128 if scale_n >= 8_000_000 else 16
     ids_s = np.asarray(sidx.search(qsd, k, rerank=rr)[1])
     rs_ = recall_at_k(ids_s, gi, k)
-    qps_s = timed_qps(lambda qq: sidx.search(qq, k, rerank=rr), qs_, 2048)
+    qps_s, qps_s_runs = timed_qps(
+        lambda qq: sidx.search(qq, k, rerank=rr), qs_, 2048)
     log(f"pq scale {scale_n:,}: recall={rs_:.4f} qps={qps_s:,.0f} "
         f"build={scale_n/sb:,.0f} pts/s (incl. exact-GT pass)")
     return (f"pq_{scale_n // 1_000_000}m",
-            dict(recall=rs_, qps=qps_s, build_pps=scale_n / sb))
+            dict(recall=rs_, qps=qps_s, qps_runs=qps_s_runs,
+                 build_pps=scale_n / sb))
 
 
 def main():
@@ -191,7 +280,11 @@ def main():
     from zvdb_tpu.bench.harness import ground_truth_host, recall_at_k
     from zvdb_tpu.io.datasets import load_dataset
 
-    n, d, nq, k = 100_000, 128, 10_000, 10
+    # ZVDB_BENCH_SMOKE=1: tiny shapes for a CPU flow check (section ordering,
+    # per-section JSON emission, engine plumbing) — NOT a performance run.
+    smoke = bool(int(os.environ.get("ZVDB_BENCH_SMOKE", "0")))
+    n, d, nq, k = (20_000, 128, 2_000, 10) if smoke else \
+        (100_000, 128, 10_000, 10)
     x, q, _, metric = load_dataset("sift1m", max_rows=n)
     q = q[:nq]
     rng = np.random.default_rng(9)
@@ -222,9 +315,9 @@ def main():
     # precision "high" = 3-pass bf16 matmul: near-f32 accuracy (recall matches
     # "highest" to 3 decimals on this workload) at ~3x MXU rate. Plain bf16
     # ("default") craters recall on clustered data — do not use it for scoring.
-    # Every build below is best-of-2 with both samples recorded
-    # (build_runs_pps): relay variance swung flat_1m 82k->38k pts/s between
-    # rounds on single-shot timings (VERDICT r3 item 6).
+    # Every build is best-of-2 with both samples recorded (build_runs_pps):
+    # relay variance swung flat_1m 82k->38k pts/s between rounds on
+    # single-shot timings (VERDICT r3 item 6).
     flat_cfg = FlatConfig(dim=d, metric=metric, precision="high",
                           recall_target=0.97, tile_n=131072)
     flat_build_s, flat_build_runs = float("inf"), []
@@ -243,13 +336,141 @@ def main():
     for lo in range(0, nq, batch):
         ids.append(np.asarray(flat.search(q[lo:lo + batch], k, approx=True)[1]))
     flat_recall = recall_at_k(np.concatenate(ids), gt, k)
-    flat_qps = timed_qps(lambda qq: flat.search(qq, k, approx=True), q, batch)
+    flat_qps, flat_qps_runs = timed_qps(
+        lambda qq: flat.search(qq, k, approx=True), q, batch)
     log(f"flat: recall={flat_recall:.4f} qps={flat_qps:,.0f} build={n/flat_build_s:,.0f} pts/s")
     results["flat"] = dict(recall=flat_recall, qps=flat_qps,
+                           qps_runs=flat_qps_runs,
                            build_pps=n / flat_build_s,
                            build_runs_pps=flat_build_runs)
+    del flat
+    emit(results)
 
-    # ---- ivf --------------------------------------------------------------
+    # ---- the round-flagship 1M rows run EARLY (pq_1m, cagra_1m): these are
+    # the rows a slow-relay driver timeout must not lose ---------------------
+    x1 = q1 = gt1 = None
+    n1 = 60_000 if smoke else 1_000_000
+    try:
+        x1, q1, gt1 = corpus_1m(d, nq, k, n1)
+        log("1M corpus + gt ready")
+    except Exception as e:
+        log(f"1M corpus failed: {e!r}")
+
+    # ---- PQ at 1M: the memory-scaling engine (codes 8 B/vec + int16 refine
+    # store vs 512 B f32 — the BASELINE config-5 memory lever) ---------------
+    if x1 is not None:
+        try:
+            from zvdb_tpu import PQConfig, PQFlatIndex
+
+            # Measured round-4 winner (exp_r4_pq6/7/9 + pq9b, docs/PERF.md
+            # "Round-4 PQ on hardware"), now the PQConfig DEFAULT on TPU:
+            # 4-bit ns16 codes (half the ADC matmul width of ns32 — same
+            # recall once the rescore is exact), fused Pallas ADC scan on the
+            # int8 MXU path, per-bin top-2 fold, int16 refine store (the
+            # rescore-precision fix: int8 refine walls at 0.9594, bf16 at
+            # 0.9876; int16 is f32-grade), rerank=12 (the measured knee: rr8
+            # cliffs to 0.894, rr16 reads 0.9987 @ 124.8k).
+            # -> 0.9984 @ 135.0k QPS at 272 B/row vs flat's 512 (the r3
+            # config read 0.60 @ 22k).
+            pq_cfg = PQConfig(dim=d, metric=metric)
+            if jax.default_backend() == "tpu":
+                assert pq_cfg.scan == "pallas", (
+                    "PQConfig default must resolve to the fused kernel on TPU")
+            xd1 = jax.device_put(x1)
+            jax.block_until_ready(xd1)
+            warm = PQFlatIndex(pq_cfg)
+            warm.build(xd1)                    # pays the one-off compiles
+            jax.block_until_ready(warm.state)
+            del warm
+            pq_build_dev_s, pq_runs = float("inf"), []
+            for _ in range(2):
+                pqi = PQFlatIndex(pq_cfg)
+                t0 = time.perf_counter()
+                pqi.build(xd1)
+                jax.block_until_ready(pqi.state)
+                dt = time.perf_counter() - t0
+                pq_runs.append(round(n1 / dt, 1))
+                pq_build_dev_s = min(pq_build_dev_s, dt)
+            del xd1
+            idsq = np.concatenate([
+                np.asarray(pqi.search(q1[lo:lo + 2048], k)[1])
+                for lo in range(0, nq, 2048)
+            ])
+            rq_ = recall_at_k(idsq, gt1, k)
+            qpsq, qpsq_runs = timed_qps(
+                lambda qq: pqi.search(qq, k), q1, 2048)
+            log(f"pq 1M: recall={rq_:.4f} qps={qpsq:,.0f} "
+                f"build={n1/pq_build_dev_s:,.0f} pts/s device-resident "
+                f"(codes+refine {pq_cfg.bytes_per_vector * n1 / 2**30:.2f} GB "
+                f"vs {4 * d * n1 / 2**30:.1f} GB f32)")
+            results["pq_1m"] = dict(recall=rq_, qps=qpsq, qps_runs=qpsq_runs,
+                                    build_pps=n1 / pq_build_dev_s,
+                                    build_runs_pps=pq_runs)
+            del pqi
+        except Exception as e:
+            log(f"pq 1M failed: {e!r}")
+        emit(results)
+
+    # ---- graph engine at 1M — the north-star axis (>=100k QPS @ >=0.95
+    # recall on the HNSW-class engine) ---------------------------------------
+    if x1 is not None:
+        try:
+            from zvdb_tpu import CagraConfig, CagraIndex
+
+            def cg1_factory():
+                # ef=12 sd=24 mi=4 @ anchors=262144: the round-4 frontier
+                # point (0.9925 @ 91.3k at B=2048 / ~113k at this B=5000
+                # protocol; sd=16 was 0.9820 @ 105.7k — PERF.md r4 frontier).
+                # Anchors cut beam hops (gather-expensive); the seed matmul
+                # is MXU-cheap.
+                return CagraIndex(CagraConfig(
+                    dim=d, degree=32, metric=metric,
+                    n_anchors=min(262144, n1 // 4),
+                    search_degree=24, max_iters=4, ef_search=12))
+
+            cg1 = cg1_factory()          # pays the one-off 1M-shape compiles
+            cg1.build(x1)
+            jax.block_until_ready(cg1.state)
+            t0 = time.perf_counter()     # warm host-corpus rebuild
+            cg1 = cg1_factory()
+            cg1.build(x1)
+            jax.block_until_ready(cg1.state)
+            cb1 = time.perf_counter() - t0
+            # device-resident 1M build (the 512 MB host corpus costs ~13 s
+            # through the relay's 40 MB/s upload; real v5e PCIe ~50 ms)
+            xd1 = jax.device_put(x1)
+            jax.block_until_ready(xd1)
+            cb1_dev, cg1_dev_runs = float("inf"), []
+            for _ in range(2):
+                cgd = cg1_factory()
+                t0 = time.perf_counter()
+                cgd.build(xd1)
+                jax.block_until_ready(cgd.state)
+                dt = time.perf_counter() - t0
+                cg1_dev_runs.append(round(n1 / dt, 1))
+                cb1_dev = min(cb1_dev, dt)
+            del cgd, xd1
+            idsg = np.concatenate([
+                np.asarray(cg1.search(q1[lo:lo + 5000], k, ef_search=12)[1])
+                for lo in range(0, nq, 5000)
+            ])
+            rg = recall_at_k(idsg, gt1, k)
+            qpsg, qpsg_runs = timed_qps(
+                lambda qq: cg1.search(qq, k, ef_search=12), q1, 5000, reps=3)
+            log(f"cagra 1M: recall={rg:.4f} qps={qpsg:,.0f} "
+                f"build={n1/cb1_dev:,.0f} pts/s device-resident "
+                f"(host-corpus {n1/cb1:,.0f})")
+            results["cagra_1m"] = dict(recall=rg, qps=qpsg,
+                                       qps_runs=qpsg_runs,
+                                       build_pps=n1 / cb1_dev,
+                                       build_pps_hostcorpus=n1 / cb1, ef=12,
+                                       build_runs_pps=cg1_dev_runs)
+            del cg1
+        except Exception as e:
+            log(f"cagra 1M failed: {e!r}")
+        emit(results)
+
+    # ---- ivf (100k protocol) ------------------------------------------------
     # kmeans_iters=4 / sample=65536: round-3 sweep measured equal-or-better
     # recall (0.9956 vs 0.9926 at nprobe=2) at equal build cost — the build
     # is upload-bound (relay 40 MB/s), not Lloyd-bound
@@ -302,19 +523,23 @@ def main():
         if best_ivf is None:
             best_ivf = (8, r)
         npb, ivf_recall = best_ivf
-        ivf_qps = timed_qps(lambda qq: ivf.search(qq, k, nprobe=npb), q, batch)
+        ivf_qps, ivf_qps_runs = timed_qps(
+            lambda qq: ivf.search(qq, k, nprobe=npb), q, batch)
         log(f"ivf: recall={ivf_recall:.4f} qps={ivf_qps:,.0f} "
             f"build={n/ivf_build_dev_s:,.0f} pts/s device-resident "
             f"(host-corpus {n/ivf_build_s:,.0f}) (nprobe={npb})")
         results["ivf"] = dict(recall=ivf_recall, qps=ivf_qps,
+                              qps_runs=ivf_qps_runs,
                               build_pps=n / ivf_build_dev_s,
                               build_pps_hostcorpus=n / ivf_build_s, nprobe=npb,
                               build_runs_pps=ivf_dev_runs,
                               build_runs_pps_hostcorpus=ivf_host_runs)
+        del ivf
     except Exception as e:  # keep headline alive if a secondary engine breaks
         log(f"ivf failed: {e!r}")
+    emit(results)
 
-    # ---- cagra ------------------------------------------------------------
+    # ---- cagra (100k protocol) ----------------------------------------------
     try:
         from zvdb_tpu import CagraConfig, CagraIndex
 
@@ -358,13 +583,14 @@ def main():
                 break
         if cagra_ef is None:
             cagra_ef, cagra_recall = 128, r
-        cagra_qps = timed_qps(
+        cagra_qps, cagra_qps_runs = timed_qps(
             lambda qq: cagra.search(qq, k, ef_search=cagra_ef), q, 5000, reps=3
         )
         log(f"cagra: recall={cagra_recall:.4f} qps={cagra_qps:,.0f} "
             f"build={n/cagra_build_dev_s:,.0f} pts/s device-resident "
             f"(host-corpus {n/cagra_build_s:,.0f}) (ef={cagra_ef})")
         results["cagra"] = dict(recall=cagra_recall, qps=cagra_qps,
+                                qps_runs=cagra_qps_runs,
                                 build_pps=n / cagra_build_dev_s,
                                 build_pps_hostcorpus=n / cagra_build_s,
                                 ef=cagra_ef, build_runs_pps=cagra_dev_runs,
@@ -372,8 +598,9 @@ def main():
         del cagra
     except Exception as e:
         log(f"cagra failed: {e!r}")
+    emit(results)
 
-    # ---- hnsw (oneshot bulk build) -----------------------------------------
+    # ---- hnsw (oneshot bulk build, 100k protocol) ---------------------------
     try:
         def hnsw_factory():
             return HNSW(HNSWConfig(dim=d, m=16, ef_construction=100,
@@ -418,214 +645,79 @@ def main():
         if hnsw_ef is None:
             hnsw_ef = 128
             hnsw_recall = r
-        hnsw_qps = timed_qps(
+        hnsw_qps, hnsw_qps_runs = timed_qps(
             lambda qq: hnsw.search(qq, k, ef_search=hnsw_ef), q, 5000, reps=2
         )
         log(f"hnsw: recall={hnsw_recall:.4f} qps={hnsw_qps:,.0f} "
             f"build={n/hnsw_build_dev_s:,.0f} pts/s device-resident "
             f"(host-corpus {n/hnsw_build_s:,.0f}) (ef={hnsw_ef})")
         results["hnsw"] = dict(recall=hnsw_recall, qps=hnsw_qps,
+                               qps_runs=hnsw_qps_runs,
                                build_pps=n / hnsw_build_dev_s,
                                build_pps_hostcorpus=n / hnsw_build_s,
                                ef=hnsw_ef, build_runs_pps=hnsw_dev_runs,
                                build_runs_pps_hostcorpus=hnsw_host_runs)
+        del hnsw
     except Exception as e:
         log(f"hnsw failed: {e!r}")
+    emit(results)
 
-    # ---- SIFT1M-scale config (BASELINE.json headline: >=0.95 recall @
-    # >=100k QPS/chip at 1M vectors) -----------------------------------------
-    try:
-        from zvdb_tpu.io.datasets import synthetic_clustered
+    # ---- flat at 1M (SIFT1M-scale config; BASELINE.json headline: >=0.95
+    # recall @ >=100k QPS/chip at 1M vectors) ---------------------------------
+    if x1 is not None:
+        try:
+            # two-pass: native-rate bf16 scan + exact f32 rerank — measured
+            # 205k QPS @ 0.9988 vs 186k @ 0.9951 for the bf16x3 single-pass
+            fl1_cfg = FlatConfig(dim=d, metric=metric, rerank=4,
+                                 recall_target=0.97, tile_n=500_000)
+            b1, fl1_runs = float("inf"), []
+            for _ in range(2):
+                fl1 = FlatIndex(fl1_cfg, capacity=n1)
+                t0 = time.perf_counter()
+                fl1.add(x1)
+                jax.block_until_ready(fl1.state)
+                dt = time.perf_counter() - t0
+                fl1_runs.append(round(n1 / dt, 1))
+                b1 = min(b1, dt)
+            ids1 = np.concatenate([
+                np.asarray(fl1.search(q1[lo:lo + 2048], k, approx=True)[1])
+                for lo in range(0, nq, 2048)
+            ])
+            r1 = recall_at_k(ids1, gt1, k)
+            qps1, qps1_runs = timed_qps(
+                lambda qq: fl1.search(qq, k, approx=True), q1, 2048)
+            log(f"flat 1M: recall={r1:.4f} qps={qps1:,.0f} build={n1/b1:,.0f} pts/s")
+            results["flat_1m"] = dict(recall=r1, qps=qps1,
+                                      qps_runs=qps1_runs, build_pps=n1 / b1,
+                                      build_runs_pps=fl1_runs)
+            del fl1
 
-        n1 = 1_000_000
-        x1 = synthetic_clustered(n1, d, n_clusters=10_000, seed=0)
-        q1 = (x1[rng.integers(0, n1, nq)]
-              + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
-        gt1_cache = f"/tmp/zvdb_gt1m_{d}_{nq}_{k}.npz"
-        if os.path.exists(gt1_cache):
-            gt1 = np.load(gt1_cache)["gt"]
-        else:
-            oracle = FlatIndex(
-                FlatConfig(dim=d, precision="highest", tile_n=262144), capacity=n1
+            # fused Pallas bf16-scan + exact rerank (round-3: 213-227k QPS @
+            # 0.991-0.995 vs the XLA two-pass's 155-207k in the same sessions;
+            # the r3-vs-r4 driver captures differ 2.3x — qps_runs now records
+            # both samples so variance vs regression is decidable)
+            flp = FlatIndex(
+                FlatConfig(dim=d, metric=metric, rerank=4, recall_target=0.97,
+                           scan="pallas", l_bins=1024, pallas_chunk=4096,
+                           pallas_bq=512),
+                capacity=n1,
             )
-            oracle.add(x1)
-            gt1 = np.concatenate([
-                np.asarray(oracle.search(q1[lo:lo + 2048], k)[1])
+            flp.add(x1)
+            jax.block_until_ready(flp.state)
+            idsp = np.concatenate([
+                np.asarray(flp.search(q1[lo:lo + 2048], k, approx=True)[1])
                 for lo in range(0, nq, 2048)
             ])
-            np.savez(gt1_cache, gt=gt1)
-            del oracle
-        # two-pass: native-rate bf16 scan + exact f32 rerank — measured 205k
-        # QPS @ 0.9988 vs 186k @ 0.9951 for the bf16x3 single-pass at 1M
-        fl1_cfg = FlatConfig(dim=d, metric=metric, rerank=4,
-                             recall_target=0.97, tile_n=500_000)
-        b1, fl1_runs = float("inf"), []
-        for _ in range(2):
-            fl1 = FlatIndex(fl1_cfg, capacity=n1)
-            t0 = time.perf_counter()
-            fl1.add(x1)
-            jax.block_until_ready(fl1.state)
-            dt = time.perf_counter() - t0
-            fl1_runs.append(round(n1 / dt, 1))
-            b1 = min(b1, dt)
-        ids1 = np.concatenate([
-            np.asarray(fl1.search(q1[lo:lo + 2048], k, approx=True)[1])
-            for lo in range(0, nq, 2048)
-        ])
-        r1 = recall_at_k(ids1, gt1, k)
-        qps1 = timed_qps(lambda qq: fl1.search(qq, k, approx=True), q1, 2048)
-        log(f"flat 1M: recall={r1:.4f} qps={qps1:,.0f} build={n1/b1:,.0f} pts/s")
-        results["flat_1m"] = dict(recall=r1, qps=qps1, build_pps=n1 / b1,
-                                   build_runs_pps=fl1_runs)
-        del fl1
-
-        # fused Pallas bf16-scan + exact rerank (round-3: 213-227k QPS @
-        # 0.991-0.995 vs the XLA two-pass's 155-207k in the same sessions)
-        flp = FlatIndex(
-            FlatConfig(dim=d, metric=metric, rerank=4, recall_target=0.97,
-                       scan="pallas", l_bins=1024, pallas_chunk=4096,
-                       pallas_bq=512),
-            capacity=n1,
-        )
-        flp.add(x1)
-        jax.block_until_ready(flp.state)
-        idsp = np.concatenate([
-            np.asarray(flp.search(q1[lo:lo + 2048], k, approx=True)[1])
-            for lo in range(0, nq, 2048)
-        ])
-        rp = recall_at_k(idsp, gt1, k)
-        qpsp = timed_qps(lambda qq: flp.search(qq, k, approx=True), q1, 2048)
-        log(f"flat 1M pallas: recall={rp:.4f} qps={qpsp:,.0f}")
-        results["flat_1m_pallas"] = dict(recall=rp, qps=qpsp)
-        del flp
-
-        # graph engine at 1M — the north-star axis (>=100k QPS @ >=0.95
-        # recall on the HNSW-class engine): anchor table grown to 262144
-        # (the seed matmul is MXU-cheap; anchors cut beam hops, which are
-        # gather-expensive), truncated search degree 16, hop budget 4
-        # (anchor seeds converge in <=4 hops at this recall tier — round-3
-        # sweep: 130.3k QPS @ 0.9838; ef=16/sd=24/mi=6: 75.7k @ 0.9958)
-        from zvdb_tpu import CagraConfig, CagraIndex
-
-        def cg1_factory():
-            # ef=12 sd=24 mi=4 @ anchors=262144: the round-4 frontier point
-            # (0.9925 @ 91.3k at B=2048 / ~113k at this B=5000 protocol;
-            # sd=16 was 0.9820 @ 105.7k — see PERF.md round-4 frontier)
-            return CagraIndex(CagraConfig(
-                dim=d, degree=32, metric=metric, n_anchors=262144,
-                search_degree=24, max_iters=4, ef_search=12))
-
-        cg1 = cg1_factory()          # pays the one-off 1M-shape compiles
-        cg1.build(x1)
-        jax.block_until_ready(cg1.state)
-        t0 = time.perf_counter()     # warm host-corpus rebuild
-        cg1 = cg1_factory()
-        cg1.build(x1)
-        jax.block_until_ready(cg1.state)
-        cb1 = time.perf_counter() - t0
-        # device-resident 1M build (the 512 MB host corpus costs ~13 s
-        # through the relay's 40 MB/s upload; real v5e PCIe ~50 ms)
-        xd1 = jax.device_put(x1)
-        jax.block_until_ready(xd1)
-        cb1_dev, cg1_dev_runs = float("inf"), []
-        for _ in range(2):
-            cgd = cg1_factory()
-            t0 = time.perf_counter()
-            cgd.build(xd1)
-            jax.block_until_ready(cgd.state)
-            dt = time.perf_counter() - t0
-            cg1_dev_runs.append(round(n1 / dt, 1))
-            cb1_dev = min(cb1_dev, dt)
-        del cgd, xd1
-        idsg = np.concatenate([
-            np.asarray(cg1.search(q1[lo:lo + 5000], k, ef_search=12)[1])
-            for lo in range(0, nq, 5000)
-        ])
-        rg = recall_at_k(idsg, gt1, k)
-        qpsg = timed_qps(
-            lambda qq: cg1.search(qq, k, ef_search=12), q1, 5000, reps=3)
-        log(f"cagra 1M: recall={rg:.4f} qps={qpsg:,.0f} "
-            f"build={n1/cb1_dev:,.0f} pts/s device-resident "
-            f"(host-corpus {n1/cb1:,.0f})")
-        results["cagra_1m"] = dict(recall=rg, qps=qpsg, build_pps=n1 / cb1_dev,
-                                   build_pps_hostcorpus=n1 / cb1, ef=12,
-                                   build_runs_pps=cg1_dev_runs)
-        del cg1, x1
-    except Exception as e:
-        log(f"1M config failed: {e!r}")
-
-    # ---- PQ at 1M: the memory-scaling engine (codes 16 B/vec + int8 refine
-    # store vs 512 B f32 — the BASELINE config-5 memory lever) ---------------
-    try:
-        from zvdb_tpu import PQConfig, PQFlatIndex
-        from zvdb_tpu.io.datasets import synthetic_clustered
-
-        n1 = 1_000_000
-        x1 = synthetic_clustered(n1, d, n_clusters=10_000, seed=0)
-        gt1_cache = f"/tmp/zvdb_gt1m_{d}_{nq}_{k}.npz"
-        # q1 must replicate the 1M block's rng draw sequence exactly (the gt
-        # cache is shared with it): rng(9) has consumed 2x nq draws for the
-        # 100k queries + 1x for the 1M queries by this point IF the 1M block
-        # ran — regenerate q1 from the same stream state only when the block
-        # above already produced it, else draw fresh and rebuild gt.
-        if "q1" in dir() and os.path.exists(gt1_cache):
-            gt1 = np.load(gt1_cache)["gt"]
-        else:
-            q1 = (x1[rng.integers(0, n1, nq)]
-                  + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
-            oracle = FlatIndex(
-                FlatConfig(dim=d, precision="highest", tile_n=262144),
-                capacity=n1)
-            oracle.add(x1)
-            gt1 = np.concatenate([
-                np.asarray(oracle.search(q1[lo:lo + 2048], k)[1])
-                for lo in range(0, nq, 2048)
-            ])
-            del oracle
-        # Measured round-4 winner (exp_r4_pq6/7/9 + pq9b, docs/PERF.md
-        # "Round-4 PQ on hardware"): 4-bit ns16 codes (half the ADC matmul
-        # width of ns32 — same recall once the rescore is exact), fused
-        # Pallas ADC scan on the int8 MXU path, per-bin top-2 fold, int16
-        # refine store (the rescore-precision fix: int8 refine walls at
-        # 0.9594, bf16 at 0.9876; int16 is f32-grade), rerank=12 (the
-        # measured knee: rr8 cliffs to 0.894, rr16 reads 0.9987 @ 124.8k).
-        # -> 0.9984 @ 135.0k QPS at 272 B/row vs flat's 512 (the r3 config
-        # read 0.60 @ 22k).
-        pq_cfg = PQConfig(dim=d, n_sub=16, n_codes=16, scan="pallas",
-                          scan_precision="int8", refine="int16",
-                          rerank=12, l_bins=1024, per_bin=2, metric=metric)
-        xd1 = jax.device_put(x1)
-        jax.block_until_ready(xd1)
-        warm = PQFlatIndex(pq_cfg)
-        warm.build(xd1)                    # pays the one-off compiles
-        jax.block_until_ready(warm.state)
-        del warm
-        pq_build_dev_s, pq_runs = float("inf"), []
-        for _ in range(2):
-            pqi = PQFlatIndex(pq_cfg)
-            t0 = time.perf_counter()
-            pqi.build(xd1)
-            jax.block_until_ready(pqi.state)
-            dt = time.perf_counter() - t0
-            pq_runs.append(round(n1 / dt, 1))
-            pq_build_dev_s = min(pq_build_dev_s, dt)
-        del xd1
-        idsq = np.concatenate([
-            np.asarray(pqi.search(q1[lo:lo + 2048], k)[1])
-            for lo in range(0, nq, 2048)
-        ])
-        rq_ = recall_at_k(idsq, gt1, k)
-        qpsq = timed_qps(lambda qq: pqi.search(qq, k), q1, 2048)
-        log(f"pq 1M: recall={rq_:.4f} qps={qpsq:,.0f} "
-            f"build={n1/pq_build_dev_s:,.0f} pts/s device-resident "
-            f"(codes+refine {pq_cfg.bytes_per_vector * n1 / 2**30:.2f} GB vs "
-            f"{4 * d * n1 / 2**30:.1f} GB f32)")
-        results["pq_1m"] = dict(recall=rq_, qps=qpsq,
-                                build_pps=n1 / pq_build_dev_s,
-                                build_runs_pps=pq_runs)
-        del pqi, x1
-    except Exception as e:
-        log(f"pq 1M failed: {e!r}")
+            rp = recall_at_k(idsp, gt1, k)
+            qpsp, qpsp_runs = timed_qps(
+                lambda qq: flp.search(qq, k, approx=True), q1, 2048)
+            log(f"flat 1M pallas: recall={rp:.4f} qps={qpsp:,.0f}")
+            results["flat_1m_pallas"] = dict(recall=rp, qps=qpsp,
+                                             qps_runs=qpsp_runs)
+            del flp
+        except Exception as e:
+            log(f"flat 1M failed: {e!r}")
+        emit(results)
 
     # ---- optional >=30M single-chip PQ scale row (ZVDB_BENCH_SCALE=rows) --
     # Off by default: the build is relay-upload-bound (~18 min at 30M through
@@ -639,44 +731,7 @@ def main():
             results[tag] = row
         except Exception as e:
             log(f"pq scale failed: {e!r}")
-
-    # headline = best engine clearing the recall target (100k-point protocol
-    # engines only; the 1M result is reported alongside)
-    results_100k = {k2: v2 for k2, v2 in results.items() if "_" not in k2}
-    best_name, best = max(
-        ((name, r) for name, r in results_100k.items()
-         if r["recall"] >= TARGET_RECALL),
-        key=lambda kv: kv[1]["qps"],
-        default=(None, None),
-    )
-    if best is None:
-        best_name, best = max(results_100k.items(), key=lambda kv: kv[1]["recall"])
-
-    # build_pps is the device-resident (hardware-representative) number for
-    # the ivf/graph engines: the 51 MB corpus costs 1.15 s through this
-    # tunnel's 40 MB/s single-stream upload (measured floor — chunked and
-    # concurrent device_put do not beat it) vs ~5 ms on real v5e PCIe, and
-    # the reference's own protocol times inserts with data already in RAM.
-    # build_pps_hostcorpus keeps the upload in (flat's ingest IS the upload,
-    # so flat reports the host number as build_pps).
-    out = {
-        "metric": "qps_at_recall0.95@10_100k_128d_sift_like",
-        "value": round(best["qps"], 1),
-        "unit": "qps",
-        "vs_baseline": round(best["qps"] / REFERENCE_QPS, 2),
-        "engine": best_name,
-        "recall": round(best["recall"], 4),
-        "build_pts_per_sec": round(best["build_pps"], 1),
-        "build_pts_per_sec_hostcorpus": round(
-            best.get("build_pps_hostcorpus", best["build_pps"]), 1),
-        "build_vs_baseline": round(best["build_pps"] / REFERENCE_BUILD, 2),
-        "build_hostcorpus_vs_baseline": round(
-            best.get("build_pps_hostcorpus", best["build_pps"])
-            / REFERENCE_BUILD, 2),
-        "engines": {k2: {k3: (round(v3, 4) if isinstance(v3, float) else v3)
-                         for k3, v3 in v2.items()} for k2, v2 in results.items()},
-    }
-    print(json.dumps(out), flush=True)
+        emit(results)
 
 
 if __name__ == "__main__":
