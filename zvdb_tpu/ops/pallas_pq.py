@@ -173,6 +173,28 @@ def permute_lut(lut: jax.Array, n_sub: int) -> jax.Array:
     return x.reshape(b, n_sub * 16)
 
 
+def _prep_lut(lut: jax.Array, n_sub: int, precision: str):
+    """permute_lut + the precision's LUT form: int8 path quantizes the LUT
+    ONCE per batch — per-query symmetric, scale = max|lut_q| / 127 (the
+    kernel used to redo the max/divide/round on every grid step). Worst-case
+    per-term error scale/2 sums to ~1.6% of max|lut| rms over 32 subspaces;
+    the PQ quantization error is larger and the engine's refine rerank
+    repairs both. Scale floored: an all-zero LUT row (zero query vs zero
+    codebooks) would otherwise give scale 0 and round(0/0)=NaN codes.
+
+    Returns (lut_k [B, SC] int8|f32, scales [B, 128] f32)."""
+    b = lut.shape[0]
+    lut_k = permute_lut(lut, n_sub)        # [B, SC]
+    if precision == "int8":
+        scales = jnp.maximum(
+            jnp.max(jnp.abs(lut_k), axis=1, keepdims=True), 1e-30) / 127.0
+        lut_k = jnp.round(lut_k / scales).astype(jnp.int8)
+        scales = jnp.broadcast_to(scales, (b, 128))
+    else:
+        scales = jnp.ones((b, 128), jnp.float32)
+    return lut_k, scales
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("l_bins", "bq_tile", "chunk", "metric", "precision",
@@ -223,21 +245,7 @@ def pq_scan_bins(
     assert sc % 128 == 0, "n_sub must be a multiple of 8 for the pallas scan"
     assert chunk % l_bins == 0, "chunk must be a multiple of l_bins"
 
-    lut_k = permute_lut(lut, n_sub)        # [B, SC]
-    if precision == "int8":
-        # per-query symmetric LUT quantization, ONCE per batch (the kernel
-        # used to redo this every grid step): scale = max|lut_q| / 127.
-        # Worst-case per-term error scale/2 sums to ~1.6% of max|lut| rms
-        # over 32 subspaces; the PQ quantization error is larger and the
-        # engine's refine rerank repairs both.
-        # floor the scale: an all-zero LUT row (zero query vs zero codebooks)
-        # would otherwise give scale 0 and round(0/0)=NaN codes
-        scales = jnp.maximum(
-            jnp.max(jnp.abs(lut_k), axis=1, keepdims=True), 1e-30) / 127.0
-        lut_k = jnp.round(lut_k / scales).astype(jnp.int8)
-        scales = jnp.broadcast_to(scales, (b, 128))
-    else:
-        scales = jnp.ones((b, 128), jnp.float32)
+    lut_k, scales = _prep_lut(lut, n_sub, precision)
     shift_col, code_col = _layout_consts(n_sub)
 
     bq = min(bq_tile, -(-max(8, b) // 8) * 8)
@@ -310,6 +318,128 @@ def pq_scan_bins(
         interpret=interpret,
     )(lut_p, scales_p, codes_p, norms_p, shift_col, code_col)
     return bin_s[:b], bin_i[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_bins", "chunk", "metric", "precision", "per_bin",
+                     "interpret"),
+)
+def pq_grouped_scan_bins(
+    lut: jax.Array,            # [B, S, 16] f32 ADC table (adc_lut, rotated qs)
+    qslot: jax.Array,          # [C, qcap] int32 query slots per cluster; -1 empty
+    codes_blocks: jax.Array,   # [C, S//2, cap] uint8 nibble-packed, per-cluster
+    norms_blocks: jax.Array,   # [C, cap] f32 decoded sq-norms; +inf invalid
+    l_bins: int = 128,
+    chunk: int = 512,
+    metric: str = "l2",
+    precision: str = "default",
+    per_bin: int = 2,
+    interpret: bool = False,
+):
+    """Cluster-grouped fused ADC scan: the IVF-PQ probe kernel.
+
+    The ScaNN-style grouped layout (index/ivf.py:_grouped_scan) applied to
+    PQ codes: (query, cluster) probe pairs are slotted per cluster OUTSIDE
+    this call; each grid step streams ONE cluster's contiguous code block
+    through the same in-VMEM one-hot + LUT-matmul + bin-fold pipeline as
+    pq_scan_bins (_pq_kernel is reused verbatim — the grid axes just mean
+    (cluster, cap-chunk) instead of (query-tile, corpus-chunk)).
+
+    Why this reaches sublinear scan cost where the flat kernel cannot: the
+    flat scan pays B x N LUT-matmul FLOPs per batch; here each cluster is
+    scored only against the <= qcap queries that probed it, so the total is
+    qcap x (C x cap) ~= slack x P/C x (B x N) — a C/(slack x P) FLOP
+    reduction (128x at 30M with C=8192, P=16, slack 4). The one-hot is also
+    built once per (cluster, chunk) instead of once per query tile.
+
+    Returns (bin_scores [C, qcap, per_bin*l_bins] f32 surrogates,
+    bin_pos [C, qcap, per_bin*l_bins] int32 POSITIONS within the cluster's
+    padded cap — the caller maps positions to ids via its b_ids table).
+    Empty slots (qslot < 0) come back +inf / -1. Surrogate convention
+    matches pq_scan_bins.
+    """
+    assert per_bin in (1, 2)
+    b, n_sub, c16 = lut.shape
+    assert c16 == 16, "pallas PQ scan requires n_codes <= 16 (nibble codes)"
+    c, nb, cap = codes_blocks.shape
+    assert nb * 2 == n_sub
+    sc = n_sub * 16
+    assert sc % 128 == 0, "n_sub must be a multiple of 8 for the pallas scan"
+    assert l_bins % 128 == 0, "l_bins must be a multiple of 128 (lane dim)"
+    assert chunk % l_bins == 0, "chunk must be a multiple of l_bins"
+    cq, qcap = qslot.shape
+    assert cq == c
+    # int8 MXU operands tile at (32, 128); f32/bf16 at (8, 128)
+    q_align = 32 if precision == "int8" else 8
+    assert qcap % q_align == 0, f"qcap must be a multiple of {q_align}"
+
+    lut_k, scales = _prep_lut(lut, n_sub, precision)
+    shift_col, code_col = _layout_consts(n_sub)
+
+    # gather per-slot LUT rows (empty slots read query 0; masked at the end)
+    slot_idx = jnp.maximum(qslot, 0).reshape(-1)            # [C*qcap]
+    lut_s = jnp.take(lut_k, slot_idx, axis=0)               # [C*qcap, SC]
+    scl_s = jnp.take(scales, slot_idx, axis=0)              # [C*qcap, 128]
+
+    chunk = min(chunk, -(-cap // l_bins) * l_bins)
+    capp = -(-cap // chunk) * chunk
+    codes_p = codes_blocks.reshape(c * nb, cap) if capp == cap else jnp.pad(
+        codes_blocks, ((0, 0), (0, 0), (0, capp - cap))).reshape(c * nb, capp)
+    norms_p = jnp.pad(norms_blocks.astype(jnp.float32),
+                      ((0, 0), (0, capp - cap)), constant_values=jnp.inf)
+
+    n_chunks = capp // chunk
+    kernel = functools.partial(
+        _pq_kernel, l_bins=l_bins, metric=metric, precision=precision,
+        per_bin=per_bin, chunks_per_seg=n_chunks)
+    lw = per_bin * l_bins
+    grid = (c, n_chunks)
+    bin_s, bin_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qcap, sc), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qcap, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qcap, lw), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qcap, lw), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c * qcap, lw), jnp.float32),
+            jax.ShapeDtypeStruct((c * qcap, lw), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qcap, lw), jnp.float32),
+            pltpu.VMEM((qcap, lw), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * qcap * sc * capp,
+            bytes_accessed=(lut_s.size * (1 if precision == "int8" else 4)
+                            + codes_p.size + norms_p.size * 4
+                            + c * qcap * lw * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lut_s, scl_s, codes_p, norms_p, shift_col, code_col)
+    bin_s = bin_s.reshape(c, qcap, lw)
+    bin_i = bin_i.reshape(c, qcap, lw)
+    live = (qslot >= 0)[:, :, None]
+    return (jnp.where(live, bin_s, jnp.inf),
+            jnp.where(live, bin_i, _NEG1))
 
 
 def pq_scan_topk(
