@@ -320,6 +320,14 @@ def pq_scan_bins(
     return bin_s[:b], bin_i[:b]
 
 
+def grouped_geometry(cap: int, l_bins: int, chunk: int) -> tuple[int, int]:
+    """Effective (chunk, padded cap) pq_grouped_scan_bins uses for a given
+    cluster capacity — callers need capp to map the kernel's within-cluster
+    POSITIONS (which index the padded cap) onto their own id tables."""
+    chunk = min(chunk, -(-cap // l_bins) * l_bins)
+    return chunk, -(-cap // chunk) * chunk
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("l_bins", "chunk", "metric", "precision", "per_bin",
@@ -382,8 +390,7 @@ def pq_grouped_scan_bins(
     lut_s = jnp.take(lut_k, slot_idx, axis=0)               # [C*qcap, SC]
     scl_s = jnp.take(scales, slot_idx, axis=0)              # [C*qcap, 128]
 
-    chunk = min(chunk, -(-cap // l_bins) * l_bins)
-    capp = -(-cap // chunk) * chunk
+    chunk, capp = grouped_geometry(cap, l_bins, chunk)
     codes_p = codes_blocks.reshape(c * nb, cap) if capp == cap else jnp.pad(
         codes_blocks, ((0, 0), (0, 0), (0, capp - cap))).reshape(c * nb, capp)
     norms_p = jnp.pad(norms_blocks.astype(jnp.float32),
