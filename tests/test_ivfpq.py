@@ -83,3 +83,190 @@ def test_grouped_geometry_padding(rng):
     assert chunk == 128 and capp == 128
     chunk, capp = grouped_geometry(1000, 128, 512)
     assert chunk == 512 and capp == 1024
+
+
+# ---------------------------------------------------------------------------
+# engine
+
+
+from zvdb_tpu import (FlatConfig, FlatIndex, IVFPQConfig,  # noqa: E402
+                      IVFPQIndex)
+
+
+@pytest.fixture(scope="module")
+def corpus(request):
+    r = np.random.default_rng(7)
+    d = 64
+    cents = r.normal(size=(512, d)).astype(np.float32)
+    x = (cents[r.integers(0, 512, 8000)]
+         + 0.25 * r.normal(size=(8000, d))).astype(np.float32)
+    q = (cents[r.integers(0, 512, 100)]
+         + 0.25 * r.normal(size=(100, d))).astype(np.float32)
+    return x, q
+
+
+@pytest.fixture(scope="module")
+def built(corpus):
+    x, q = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12))
+    idx.build(x)
+    return idx
+
+
+def test_build_recall(corpus, built):
+    x, q = corpus
+    flat = FlatIndex(FlatConfig(dim=64))
+    flat.build(x)
+    _, gt = flat.search(q, 10)
+    _, got = built.search(q, 10)
+    gt, got = np.asarray(gt), np.asarray(got)
+    rec = np.mean([len(set(gt[i]) & set(got[i])) / 10 for i in range(len(q))])
+    assert rec >= 0.95, rec
+    # self-hit on build rows
+    _, ids = built.search(x[:100], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(100)).mean()) >= 0.97
+
+
+def test_scores_are_user_facing(corpus, built):
+    """l2 scores are squared distances to the refine-store rows (monotone,
+    near-exact vs true squared distance)."""
+    x, q = corpus
+    s, ids = built.search(q[:10], 5)
+    s, ids = np.asarray(s), np.asarray(ids)
+    for b in range(10):
+        assert np.all(np.diff(s[b]) >= -1e-3)
+        for j in range(5):
+            true = ((q[b] - x[ids[b, j]]) ** 2).sum()
+            assert abs(s[b, j] - true) < 1e-2 * max(true, 1.0)
+
+
+def test_add_then_search_id_stability(corpus):
+    x, q = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12))
+    idx.build(x[:6000])
+    idx.add(x[6000:7000])
+    idx.add(x[7000:8000])
+    assert len(idx) == 8000
+    _, ids = idx.search(x[5950:6050], 1)
+    hit = float((np.asarray(ids)[:, 0] == np.arange(5950, 6050)).mean())
+    assert hit >= 0.95, hit      # ids continue across build/add boundary
+    g = idx.get([6001, 7500])
+    assert np.allclose(g, x[[6001, 7500]], atol=0.05)
+
+
+def test_add_overflow_repacks(corpus):
+    """Appends past block capacity trigger the repack; ids stay valid."""
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 block_headroom=1.05))
+    idx.build(x[:2000])
+    # 3x the corpus again — guaranteed to overflow some cluster
+    idx.add(x[2000:8000])
+    assert len(idx) == 8000
+    _, ids = idx.search(x[:50], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(50)).mean()) >= 0.95
+    _, ids = idx.search(x[5000:5050], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(5000, 5050)).mean()) >= 0.95
+
+
+def test_empty_and_k_gt_n():
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16))
+    s, i = idx.search(np.zeros((3, 64), np.float32), 4)
+    assert np.all(np.asarray(i) == -1)          # src/hnsw.zig:201 contract
+    idx.build(np.random.default_rng(0).normal(size=(5, 64)).astype(np.float32))
+    s, i = idx.search(np.zeros((2, 64), np.float32), 8)
+    i = np.asarray(i)
+    assert (i >= 0).sum(axis=1).min() == 5      # k > n: trailing -1
+    assert np.all(i[:, 5:] == -1)
+
+
+def test_dim_mismatch_raises(built):
+    with pytest.raises(ValueError):
+        built.search(np.zeros((2, 65), np.float32), 3)
+    with pytest.raises(ValueError):
+        built.add(np.zeros((2, 65), np.float32))
+
+
+def test_remove_compact(corpus):
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12))
+    idx.build(x[:2000])
+    assert idx.remove([0, 5, 7]) == 3
+    assert idx.remove([5]) == 0                 # already dead
+    assert len(idx) == 1997
+    _, ids = idx.search(x[:1], 3)
+    assert 0 not in set(np.asarray(ids).ravel().tolist())
+    with pytest.raises(IndexError):
+        idx.get([5])
+    old = idx.compact()
+    assert len(old) == 1997 and 0 not in old and 5 not in old
+    # survivor new id = position in `old`
+    pos = int(np.flatnonzero(old == 10)[0])
+    _, ids = idx.search(x[10:11], 1)
+    assert int(np.asarray(ids)[0, 0]) == pos
+
+
+def test_filtered_search_exact(corpus, built):
+    """Default filter_mode='scan' is EXACT over the allowlist."""
+    x, q = corpus
+    allowed = np.zeros(8000, bool)
+    allowed[::7] = True                          # ~14% selectivity
+    s, ids = built.search(q[:20], 5, allowed=allowed)
+    ids = np.asarray(ids)
+    assert np.all((ids % 7 == 0) | (ids == -1))
+    # oracle over allowed rows only
+    sub = np.flatnonzero(allowed)
+    d2 = ((q[:20, None, :] - x[None, sub, :]) ** 2).sum(-1)
+    gt = sub[np.argsort(d2, axis=1)[:, :5]]
+    agree = np.mean([len(set(gt[i]) & set(ids[i])) / 5 for i in range(20)])
+    assert agree >= 0.95, agree                  # int16 rescore near-ties only
+    # probe mode returns only allowed ids too
+    s, ids = built.search(q[:20], 5, allowed=allowed, filter_mode="probe")
+    ids = np.asarray(ids)
+    assert np.all((ids % 7 == 0) | (ids == -1))
+
+
+def test_search_range(corpus, built):
+    x, q = corpus
+    s, i, c = built.search_range(q[:10], radius=float(np.quantile(
+        ((q[:10, None, :] - x[None, :500, :]) ** 2).sum(-1), 0.01)))
+    s, i, c = np.asarray(s), np.asarray(i), np.asarray(c)
+    # counts match a brute-force count (refine-store rescore is near-exact;
+    # allow boundary ties)
+    for b in range(10):
+        true = int((((q[b] - x) ** 2).sum(-1) <= s[b, 0] + 1e-6).sum()) \
+            if np.isfinite(s[b, 0]) else 0
+        assert c[b] >= (1 if np.isfinite(s[b, 0]) else 0)
+    assert np.all((i >= 0) | np.isinf(s))
+
+
+def test_save_load_roundtrip(tmp_path, corpus, built):
+    x, q = corpus
+    p = str(tmp_path / "ivfpq.npz")
+    built.save(p)
+    idx2 = IVFPQIndex.load(p)
+    s1, i1 = built.search(q[:20], 5)
+    s2, i2 = idx2.search(q[:20], 5)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+
+def test_cosine_metric(corpus):
+    x, q = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, metric="cosine",
+                                 nprobe=8, rerank=12))
+    idx.build(x[:2000])
+    s, ids = idx.search(x[:50], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(50)).mean()) >= 0.95
+    assert np.all(np.asarray(s)[:, 0] > 0.99)    # self-similarity ~1
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        IVFPQConfig(dim=60, n_sub=16)            # dim % n_sub
+    with pytest.raises(ValueError):
+        IVFPQConfig(dim=64, n_sub=4)             # n_sub % 8
+    with pytest.raises(ValueError):
+        IVFPQConfig(dim=64, n_sub=16, l_bins=100)
+    with pytest.raises(ValueError):
+        IVFPQConfig(dim=64, n_sub=16, metric="cityblock")

@@ -19,6 +19,7 @@ from .index.flat import FlatIndex, exact_ground_truth
 from .index.hnsw import HNSW, HNSWState
 from .index.ivf import IVFConfig, IVFIndex
 from .index.cagra import CagraConfig, CagraIndex
+from .index.ivfpq import IVFPQConfig, IVFPQIndex
 from .index.pqflat import PQFlatIndex
 from .serve import SearchServer
 from .utils.router import relative_contrast, suggest_engine
@@ -31,6 +32,8 @@ __all__ = [
     "FlatIndex",
     "IVFIndex",
     "IVFConfig",
+    "IVFPQIndex",
+    "IVFPQConfig",
     "PQFlatIndex",
     "PQConfig",
     "exact_ground_truth",
