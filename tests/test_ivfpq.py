@@ -261,6 +261,27 @@ def test_cosine_metric(corpus):
     assert np.all(np.asarray(s)[:, 0] > 0.99)    # self-similarity ~1
 
 
+def test_expected_rows_chunked_build(corpus):
+    """expected_rows pre-sizes blocks + refine store: chunked adds append
+    O(batch) with no overflow repack (the 30M+ scale-build path)."""
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 expected_rows=8000, n_clusters=64))
+    idx.build(x[:2000])
+    cap0 = idx.state.codes_blocks.shape[2]
+    rcap0 = idx.state.refine.shape[0]
+    assert rcap0 >= 8000                         # refine store pre-sized
+    for lo in range(2000, 8000, 2000):
+        idx.add(x[lo:lo + 2000])
+        idx.flush()
+    assert idx.state.codes_blocks.shape[2] == cap0   # no repack
+    assert idx.state.refine.shape[0] == rcap0
+    assert int(idx.state.n) == 8000
+    _, ids = idx.search(x[6950:7050], 1)
+    hit = float((np.asarray(ids)[:, 0] == np.arange(6950, 7050)).mean())
+    assert hit >= 0.95, hit
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         IVFPQConfig(dim=60, n_sub=16)            # dim % n_sub

@@ -98,6 +98,15 @@ class IVFPQConfig:
     # Per-cluster query-slot capacity = slack * B * P / C (pairs past a hot
     # cluster's capacity are dropped, rarest-first — see ivf._grouped_scan).
     group_slack: float = 4.0
+    # Expected FINAL corpus size for chunked scale builds (30M+ corpora
+    # cannot be device-resident as one f32 array next to their own index).
+    # When the first build sees n < expected_rows, block capacity and the
+    # refine store are pre-sized by the expected growth factor so subsequent
+    # add() chunks append O(batch) without overflow repacks. The k-means /
+    # split / codebook geometry still comes from the first chunk (the
+    # mixture is assumed stationary — standard IVF train-on-sample
+    # semantics). None = size for the built corpus only.
+    expected_rows: Optional[int] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -488,8 +497,9 @@ class IVFPQIndex:
             self._trained = True
             mark("pq-train", cb)
 
+            n_plan = max(n, cfg.expected_rows or 0)
             c = cfg.n_clusters or max(
-                8, 1 << int(round(math.log2(4 * math.sqrt(max(n, 1))))))
+                8, 1 << int(round(math.log2(4 * math.sqrt(max(n_plan, 1))))))
             c = min(c, max(8, n))
             self._key, sub = jax.random.split(self._key)
             cent = _kmeans_device(xd, c, cfg.ivf_kmeans_iters, sub,
@@ -507,8 +517,9 @@ class IVFPQIndex:
             mark("split")
             c2 = len(cent_np)
             max_count = int(np.bincount(assign, minlength=c2).max())
+            grow = max(1.0, (cfg.expected_rows or 0) / n)
             cap = max(8, int(math.ceil(
-                cfg.block_headroom * max(max_count, 1) / 8.0)) * 8)
+                cfg.block_headroom * grow * max(max_count, 1) / 8.0)) * 8)
             if n >= 500_000:
                 order = np.asarray(jnp.argsort(jnp.asarray(assign, jnp.int32))
                                    ).astype(np.int32)
@@ -551,7 +562,8 @@ class IVFPQIndex:
         counts = jnp.zeros((c,), jnp.int32).at[jnp.asarray(sa)].add(1)
 
         refine_d = cfg.dim if cfg.refine != "none" else 0
-        rcap = max(1024, -(-n // 1024) * 1024 + 1024) if refine_d else 1
+        n_plan = max(n, cfg.expected_rows or 0)
+        rcap = max(1024, -(-n_plan // 1024) * 1024 + 1024) if refine_d else 1
         rr = jnp.zeros((rcap, refine_d), cfg.refine_dtype)
         rrs = jnp.ones((rcap,), jnp.float32)
         if refine_d:
