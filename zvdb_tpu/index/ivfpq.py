@@ -287,16 +287,18 @@ def ivfpq_search_impl(
         precision=scan_precision, per_bin=per_bin, interpret=interpret)
     lw = per_bin * l_bins                                    # [C, qcap, lw]
 
-    # positions index the PADDED cap — map through a padded id table
+    # positions index the PADDED cap. The candidate pool carries FLAT
+    # positions (cluster * capp + pos), not external ids: mapping every bin
+    # slot through b_ids would be a C*qcap*lw-element gather (33M elements at
+    # 1M-scale defaults — ~0.2 s/batch at the measured ~7 ns/row gather
+    # cost); flat positions are arithmetic, and only the k*rerank survivors
+    # of the pool cut pay the id-table gather below.
     _, capp = grouped_geometry(cap, l_bins, chunk)
     ids_p = state.b_ids if capp == cap else jnp.pad(
         state.b_ids, ((0, 0), (0, capp - cap)), constant_values=-1)
-    flat = (jnp.arange(c, dtype=jnp.int32)[:, None, None] * capp
-            + jnp.maximum(bin_pos, 0))
-    ids = jnp.take(ids_p.reshape(-1), flat.reshape(-1)).reshape(c, q_cap, lw)
-    ids = jnp.where(bin_pos >= 0, ids, -1)
-    ids = jnp.where(ids >= 0, ids, -1)            # tombstones (-2-id) -> -1
-    bin_s = jnp.where(ids >= 0, bin_s, INF)
+    flatpos = (jnp.arange(c, dtype=jnp.int32)[:, None, None] * capp
+               + bin_pos)                          # bin_pos -1 -> negative
+    flatpos = jnp.where(bin_pos >= 0, flatpos, -1)
 
     # scatter back to per-query probe slots (trash row b absorbs empties)
     out_s = jnp.full((b + 1, p, lw), INF, jnp.float32)
@@ -304,11 +306,21 @@ def ivfpq_search_impl(
     wq = jnp.where(qslot >= 0, qslot, b)
     wp = jnp.maximum(pslot, 0)
     out_s = out_s.at[wq, wp].set(bin_s)
-    out_i = out_i.at[wq, wp].set(ids)
+    out_i = out_i.at[wq, wp].set(flatpos)
     merged_s = out_s[:b].reshape(b, p * lw)
     merged_i = out_i[:b].reshape(b, p * lw)
 
+    def map_ids(pos):
+        mapped = jnp.take(ids_p.reshape(-1), jnp.maximum(pos, 0))
+        # padding (-1) and tombstones (-2-id) both come back negative
+        return jnp.where(pos >= 0, jnp.maximum(mapped, -1), -1)
+
     if allowed is not None:
+        # filtered probe mode: the allowlist needs external ids, so the
+        # whole pool pays the mapping gather — the documented cost of
+        # filter_mode="probe"; the default filter path is the exact masked
+        # scan in IVFPQIndex.search, which never reaches here.
+        merged_i = map_ids(merged_i)
         ok = jnp.take(allowed, jnp.maximum(merged_i, 0)) & (merged_i >= 0)
         merged_s = jnp.where(ok, merged_s, INF)
         merged_i = jnp.where(ok, merged_i, -1)
@@ -322,6 +334,9 @@ def ivfpq_search_impl(
         cand_s = jnp.where(cand_i >= 0, cand_s, INF)
     else:
         cand_s, cand_i = T.smallest_k(merged_s, merged_i, kk)
+    if allowed is None:
+        cand_i = map_ids(cand_i)                  # survivors only
+    cand_s = jnp.where(cand_i >= 0, cand_s, INF)
 
     if refine != "none":
         safe = jnp.maximum(cand_i, 0)
