@@ -393,8 +393,13 @@ def pq_grouped_scan_bins(
     chunk, capp = grouped_geometry(cap, l_bins, chunk)
     codes_p = codes_blocks.reshape(c * nb, cap) if capp == cap else jnp.pad(
         codes_blocks, ((0, 0), (0, 0), (0, capp - cap))).reshape(c * nb, capp)
+    # norms ride as ONE flat row: a (1, chunk) block over a [C, capp] array
+    # would put a 1-row block on a C-row sublane axis, which Mosaic rejects
+    # (block dim -2 must divide 8 or equal the array dim — the flat kernel's
+    # (1, N) reshape, generalized to the grouped grid's i*n_chunks+j column)
     norms_p = jnp.pad(norms_blocks.astype(jnp.float32),
-                      ((0, 0), (0, capp - cap)), constant_values=jnp.inf)
+                      ((0, 0), (0, capp - cap)),
+                      constant_values=jnp.inf).reshape(1, c * capp)
 
     n_chunks = capp // chunk
     kernel = functools.partial(
@@ -412,7 +417,7 @@ def pq_grouped_scan_bins(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, j: (i, j),
+            pl.BlockSpec((1, chunk), lambda i, j, nc=n_chunks: (0, i * nc + j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sc, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
