@@ -235,8 +235,12 @@ def run_pq_scale(scale_n: int, k: int = 10):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # repo-local persistent compile cache: /tmp is wiped between rounds, so a
+    # /tmp cache made every driver run pay the full cold-compile wall (the
+    # round-4 driver bench died on exactly that). utils/cache.py.
+    from zvdb_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache("cpu" if os.environ.get("JAX_PLATFORMS", "")
+                        .startswith("cpu") else "tpu")
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # Honor an explicit CPU request (smoke runs) before any device touch;

@@ -21,11 +21,17 @@ import jax  # noqa: E402
 if not os.environ.get("ZVDB_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache — repeated pytest runs skip recompilation.
-# CPU tests use their OWN cache dir: sharing /tmp/zvdb_jax_cache with TPU
-# bench processes produced a corrupt entry that segfaulted the reader
-# (jax compilation_cache get_executable_and_time) when both ran concurrently
-jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache_cpu")
+# persistent compile cache — repeated pytest runs skip recompilation. The
+# cache lives IN THE REPO (.cache/jax_cpu, gitignored), not /tmp: /tmp is
+# wiped between rounds, which made every first suite run pay the full
+# ~34-min cold-compile wall (utils/cache.py). CPU tests use their OWN cache
+# dir: sharing one dir with TPU bench processes produced a corrupt entry
+# that segfaulted the reader (jax compilation_cache get_executable_and_time)
+# when both ran concurrently.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_cache = os.path.join(_repo, ".cache", "jax_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

@@ -17,6 +17,9 @@ import pytest
 
 from zvdb_tpu import (CagraConfig, CagraIndex, HNSW, HNSWConfig)
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 def _run_interleaved(idx, x_build, x_stream, q, known_ids):
     """Insert x_stream in batches from 2 writer threads while 4 reader

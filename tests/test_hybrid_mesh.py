@@ -16,6 +16,9 @@ from zvdb_tpu.parallel.mesh import (
     DATA_AXIS, SHARD_AXIS, _group_by_slice, make_hybrid_mesh,
 )
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 class _Dev:
     def __init__(self, slice_index):

@@ -8,6 +8,9 @@ import pytest
 
 from zvdb_tpu import CagraConfig, ShardedCagra, make_mesh
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 def clustered(n, d, seed, nc=50):
     rng = np.random.default_rng(seed)

@@ -32,6 +32,9 @@ from zvdb_tpu import (
 )
 from zvdb_tpu.parallel.mesh import make_mesh
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 N, D, NQ, K = 2000, 24, 48, 10
 
 

@@ -8,6 +8,9 @@ from zvdb_tpu import FlatConfig, exact_ground_truth
 from zvdb_tpu.parallel.mesh import make_mesh
 from zvdb_tpu.parallel.sharded_flat import ShardedFlat
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():

@@ -8,6 +8,9 @@ from zvdb_tpu import IVFConfig, exact_ground_truth
 from zvdb_tpu.parallel.mesh import make_mesh
 from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 def recall_at_k(ids, gt, k):
     return np.mean(

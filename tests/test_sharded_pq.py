@@ -11,6 +11,9 @@ from zvdb_tpu import PQConfig, exact_ground_truth
 from zvdb_tpu.parallel.mesh import make_mesh
 from zvdb_tpu.parallel.sharded_pq import ShardedPQFlat
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 def recall_at_k(ids, gt_ids, k):
     return np.mean(

@@ -11,6 +11,9 @@ from zvdb_tpu.parallel.sharded import ShardedHNSW
 from zvdb_tpu.parallel.sharded_flat import ShardedFlat
 from zvdb_tpu.parallel.sharded_ivf import ShardedIVF
 
+# compile-heavy multi-device tier — deselect with -m 'not slow' (fast gate)
+pytestmark = pytest.mark.slow
+
 
 def recall_at_k(ids, gt_ids, k):
     return np.mean(

@@ -67,9 +67,11 @@ def main(argv=None):
         # cache: sharing the TPU cache dir corrupted entries when both
         # backends wrote concurrently (see tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache_cpu")
+        from ..utils.cache import setup_compile_cache
+        setup_compile_cache("cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+        from ..utils.cache import setup_compile_cache
+        setup_compile_cache("tpu")
 
     from zvdb_tpu import (
         CagraConfig, CagraIndex, FlatConfig, FlatIndex, HNSW, HNSWConfig,

@@ -269,10 +269,13 @@ def ivfpq_search_impl(
     cs = D.pairwise_scores(qp, state.centroids, state.c_norms, metric)  # [B, C]
     if c_mask is not None:
         cs = jnp.where(c_mask[None, :], cs, INF)
-    if c >= 4096 and p * 4 <= c:
-        _, probes = jax.lax.approx_min_k(cs, p)
-    else:
-        _, probes = jax.lax.top_k(-cs, p)                               # [B, P]
+    # probes are EXACT top-p: approx_min_k here (recall_target 0.95) was an
+    # np-INDEPENDENT ~0.8pt recall wall — missing the rank-0 cluster loses
+    # the true NN no matter how many further probes follow (measured 1M x
+    # 128d round 5: recall saturated at 0.9917 from np8 through np64 with
+    # approx probes). [B, C] top-p is a few-rows x wide-reduction shape,
+    # where top_k is the right tool (CLAUDE.md round-2 topk facts).
+    _, probes = jax.lax.top_k(-cs, p)                                   # [B, P]
 
     # per-cluster query slots; int8 MXU operands tile at (32, 128)
     q_align = 32 if scan_precision == "int8" else 8
