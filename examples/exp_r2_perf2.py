@@ -14,8 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from zvdb_tpu.utils.cache import setup_compile_cache
+setup_compile_cache("tpu")
 
 
 def timed_qps(search_fn, staged, reps=6):

@@ -31,7 +31,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+from zvdb_tpu.utils.cache import setup_compile_cache
+setup_compile_cache("tpu")
 
 import numpy as np  # noqa: E402
 

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from zvdb_tpu.utils.cache import setup_compile_cache
+setup_compile_cache("tpu")
 
 
 def log(*a):

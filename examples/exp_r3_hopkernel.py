@@ -127,7 +127,8 @@ def xla_hop_scores(idx, q, x):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
+    from zvdb_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache("tpu")
     n, d, b, k = 1_000_000, 128, 4992, 256
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)

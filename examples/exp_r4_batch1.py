@@ -106,8 +106,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from zvdb_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache("tpu")
     import jax.numpy as jnp
 
     from zvdb_tpu import (CagraConfig, CagraIndex, FlatConfig, FlatIndex,

@@ -27,8 +27,8 @@ def log(*a):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zvdb_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from zvdb_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache("tpu")
     import jax.numpy as jnp
 
     from exp_r4_batch1 import corpus_1m, gt_1m, recall_vs, timed_qps, \
