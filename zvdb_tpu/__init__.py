@@ -50,12 +50,14 @@ __all__ = [
 def __getattr__(name):
     # sharded engines import lazily (they touch jax.sharding / mesh state)
     if name in ("ShardedHNSW", "ShardedFlat", "ShardedIVF", "ShardedCagra",
-                "ShardedPQFlat", "make_mesh", "make_hybrid_mesh"):
+                "ShardedPQFlat", "ShardedIVFPQ", "make_mesh",
+                "make_hybrid_mesh"):
         from .parallel.mesh import make_hybrid_mesh, make_mesh
         from .parallel.sharded import ShardedHNSW
         from .parallel.sharded_cagra import ShardedCagra
         from .parallel.sharded_flat import ShardedFlat
         from .parallel.sharded_ivf import ShardedIVF
+        from .parallel.sharded_ivfpq import ShardedIVFPQ
         from .parallel.sharded_pq import ShardedPQFlat
 
         return {
@@ -64,6 +66,7 @@ def __getattr__(name):
             "ShardedIVF": ShardedIVF,
             "ShardedCagra": ShardedCagra,
             "ShardedPQFlat": ShardedPQFlat,
+            "ShardedIVFPQ": ShardedIVFPQ,
             "make_mesh": make_mesh,
             "make_hybrid_mesh": make_hybrid_mesh,
         }[name]
