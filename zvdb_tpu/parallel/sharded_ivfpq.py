@@ -397,7 +397,7 @@ class ShardedIVFPQ:
         new_owner = shard_of.astype(np.int32)
         new_lid = np.zeros(new.shape[0], np.int32)
         fill = self._n_loc.copy()
-        idmap = np.asarray(self.id_map)
+        idmap = np.array(self.id_map)   # mutable host copy
         for i in range(new.shape[0]):
             si = shard_of[i]
             new_lid[i] = fill[si]
