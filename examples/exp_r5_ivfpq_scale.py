@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=2_000_000)
     ap.add_argument("--n-sub", type=int, default=48)
     ap.add_argument("--refine", default="int16")
+    ap.add_argument("--l-bins", type=int, default=256,
+                    help="per-cluster bin-pool width lever: the measured 1M "
+                         "recall wall was the per-cluster bin fold "
+                         "(exp_r5_ivfpq4 — lb128 0.9912, lb256 0.9993)")
     ap.add_argument("--nq", type=int, default=2048)
     ap.add_argument("--sweep", default="16:16,16:32,32:16,32:32,64:32",
                     help="comma-separated nprobe:rerank points")
@@ -65,6 +69,7 @@ def main():
 
     cfg = IVFPQConfig(dim=D, n_sub=args.n_sub, refine=args.refine,
                       nprobe=32, rerank=32, train_sample=131072,
+                      l_bins=args.l_bins, chunk=max(512, args.l_bins),
                       expected_rows=args.n)
     log(f"config: {cfg.bytes_per_vector} B/vec -> "
         f"{cfg.bytes_per_vector * args.n / 2**30:.2f} GB at n={args.n:,}")

@@ -88,8 +88,14 @@ class IVFPQConfig:
     max_cluster_factor: float = 2.0
     block_headroom: float = 1.25
     # Grouped-kernel geometry: per-(query, cluster) bin pool is
-    # per_bin*l_bins wide; chunk = cluster rows per kernel step.
-    l_bins: int = 128
+    # per_bin*l_bins wide; chunk = cluster rows per kernel step. l_bins is
+    # THE measured recall lever (round-5 1M diagnosis, exp_r5_ivfpq2-4):
+    # per-bin top-2 competition happens WITHIN a cluster — exactly the rows
+    # closest to the query — so 4-bit ADC noise evicts true neighbors from
+    # narrow pools (lb128 walls at 0.9912 no matter the probe count, probe
+    # precision, or rerank depth; lb256 reads 0.9993 @ 1M for -25% QPS at
+    # np16, and np8+lb256 strictly dominates np16+lb128).
+    l_bins: int = 256
     chunk: int = 512
     per_bin: int = 2
     # LUT matmul precision: "int8" (2x bf16 MXU rate, measured +14% at 1M),
