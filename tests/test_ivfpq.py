@@ -291,3 +291,81 @@ def test_config_validation():
         IVFPQConfig(dim=64, n_sub=16, l_bins=100)
     with pytest.raises(ValueError):
         IVFPQConfig(dim=64, n_sub=16, metric="cityblock")
+
+
+def test_small_overflow_spills_not_repacks(corpus):
+    """A batch that overfills ONE cluster's block by a little is absorbed by
+    spill-to-neighbor (next-nearest centroid with spare capacity) — no O(N)
+    repack (the round-5 30M OOM lesson), and every row stays findable because
+    non-residual ADC scores are cluster-independent (nprobe covers the
+    neighbor)."""
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 n_clusters=64, expected_rows=8000))
+    idx.build(x[:6000])
+    cap0 = idx.state.codes_blocks.shape[2]
+    c0 = idx.state.centroids.shape[0]
+    # aim a small batch at one spot: duplicates of one existing row land in
+    # one cluster; enough of them to exceed its spare capacity
+    counts = np.asarray(idx.state.counts)
+    hot = int(np.argmax(counts))
+    spare = cap0 - int(counts[hot])
+    burst = np.repeat(x[:1][np.zeros(1, int)], spare + 16, axis=0)
+    # anchor the burst at the hot cluster's centroid
+    burst = (np.asarray(idx.state.centroids)[hot][None]
+             + 0.01 * burst[:, :] * 0).astype(np.float32) \
+        + 0.001 * np.random.default_rng(0).normal(
+            size=(spare + 16, 64)).astype(np.float32)
+    idx.add(burst)
+    idx.flush()
+    st = idx.state
+    assert st.codes_blocks.shape[2] == cap0      # no repack happened
+    assert st.centroids.shape[0] == c0
+    assert int(st.n) == 6000 + spare + 16
+    # every burst row findable (they're all near the hot centroid; spilled
+    # rows sit in a neighboring probed cluster)
+    _, ids = idx.search(burst[:32], spare + 16)
+    found = set(np.asarray(ids).ravel().tolist())
+    expect = set(range(6000, 6000 + spare + 16))
+    assert len(expect - found) == 0, sorted(expect - found)[:5]
+
+
+def test_refine_growth_without_repack(corpus):
+    """Appending past the refine store's capacity grows it in place (device
+    realloc) instead of triggering the O(N) cluster repack."""
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 n_clusters=64, block_headroom=4.0))
+    idx.build(x[:1000])
+    cap0 = idx.state.codes_blocks.shape[2]
+    rcap0 = idx.state.refine.shape[0]
+    idx.add(x[1000:4000])     # blocks have 4x headroom; refine store doesn't
+    idx.flush()
+    st = idx.state
+    assert st.refine.shape[0] > rcap0            # grew
+    assert st.codes_blocks.shape[2] == cap0      # but no repack
+    assert int(st.n) == 4000
+    _, ids = idx.search(x[3950:4000], 1)
+    hit = float((np.asarray(ids)[:, 0] == np.arange(3950, 4000)).mean())
+    assert hit >= 0.95, hit
+    g = idx.get([1001, 3500])
+    assert np.allclose(g, x[[1001, 3500]], atol=0.05)
+
+
+def test_repack_streams_host_segments(corpus, monkeypatch):
+    """The >4M-row repack path (host-streamed pack, no device split): force
+    it at CPU scale via the module threshold; results must match the device
+    path's contract (ids valid, rows findable)."""
+    import zvdb_tpu.index.ivfpq as ivfpq_mod
+    monkeypatch.setattr(ivfpq_mod, "_REPACK_SPLIT_MAX_ROWS", 100)
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 block_headroom=1.05, n_clusters=32))
+    idx.build(x[:2000])
+    idx.add(x[2000:8000])     # 3x growth -> guaranteed repack, host path
+    idx.flush()
+    assert len(idx) == 8000
+    _, ids = idx.search(x[:50], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(50)).mean()) >= 0.95
+    _, ids = idx.search(x[7000:7050], 1)
+    assert float((np.asarray(ids)[:, 0] == np.arange(7000, 7050)).mean()) >= 0.95

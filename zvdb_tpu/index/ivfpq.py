@@ -174,24 +174,26 @@ class IVFPQState(NamedTuple):
     n: jax.Array             # scalar int32 rows ingested (incl. tombstones)
 
 
+# Repack corpora up to this size ride the device split path (one upload);
+# larger ones stream host segments and skip the split (tests shrink this to
+# exercise the streamed path at CPU scale).
+_REPACK_SPLIT_MAX_ROWS = 4_000_000
+
+
 # ---------------------------------------------------------------------------
 # device pack
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric",), donate_argnums=(3, 4, 5))
-def _pack_pq_segment(xd, order_seg, sa_seg_slot,
-                     codes_blocks, norms_blocks, b_ids, codebooks, rot,
-                     metric: str):
-    """Scatter one corpus segment's PQ codes into the cluster blocks.
+def _pack_rows_core(xo, ids_seg, sa_seg_slot,
+                    codes_blocks, norms_blocks, b_ids, codebooks, rot,
+                    metric: str):
+    """Scatter one segment's PQ codes into the cluster blocks.
 
-    Same segmented-scatter shape as ivf._pack_segment (bounds transient HBM
-    at 30M+ scale); the stored payload is nibble-packed codes instead of
-    vectors. sa_seg_slot packs (cluster, slot) as two columns."""
+    xo [S, D] are the segment's rows (already gathered, any source);
+    ids_seg [S] the external ids stored with them (< 0 = padding, dropped).
+    sa_seg_slot packs (cluster, slot) as two columns."""
     sa_seg, slot_seg = sa_seg_slot[:, 0], sa_seg_slot[:, 1]
-    valid = order_seg >= 0
-    safe = jnp.maximum(order_seg, 0)
-    xo = jnp.take(xd, safe, axis=0)                        # [S, D]
+    valid = ids_seg >= 0
     codes = PQ.encode(PQ.apply_rotation(xo, rot), codebooks)
     packed = PQ.pack_nibbles(codes)                        # [S, nb]
     if metric == "l2":
@@ -202,8 +204,35 @@ def _pack_pq_segment(xd, order_seg, sa_seg_slot,
     wa = jnp.where(valid, sa_seg, c)                       # invalid -> dropped
     codes_blocks = codes_blocks.at[wa, :, slot_seg].set(packed, mode="drop")
     norms_blocks = norms_blocks.at[wa, slot_seg].set(norms, mode="drop")
-    b_ids = b_ids.at[wa, slot_seg].set(order_seg, mode="drop")
+    b_ids = b_ids.at[wa, slot_seg].set(ids_seg, mode="drop")
     return codes_blocks, norms_blocks, b_ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric",), donate_argnums=(3, 4, 5))
+def _pack_pq_segment(xd, order_seg, sa_seg_slot,
+                     codes_blocks, norms_blocks, b_ids, codebooks, rot,
+                     metric: str):
+    """Device-corpus segment pack: gather order_seg rows from xd, scatter.
+
+    Same segmented-scatter shape as ivf._pack_segment (bounds transient HBM
+    at 30M+ scale); the stored payload is nibble-packed codes instead of
+    vectors."""
+    xo = jnp.take(xd, jnp.maximum(order_seg, 0), axis=0)   # [S, D]
+    return _pack_rows_core(xo, order_seg, sa_seg_slot, codes_blocks,
+                           norms_blocks, b_ids, codebooks, rot, metric)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric",), donate_argnums=(3, 4, 5))
+def _pack_pq_rows_segment(xo, ids_seg, sa_seg_slot,
+                          codes_blocks, norms_blocks, b_ids, codebooks, rot,
+                          metric: str):
+    """Host-corpus segment pack: rows arrive pre-gathered (the repack path
+    streams [S, D] host slices so the WHOLE corpus never has to sit on
+    device next to the blocks it is building — the round-5 30M repack OOM)."""
+    return _pack_rows_core(xo, ids_seg, sa_seg_slot, codes_blocks,
+                           norms_blocks, b_ids, codebooks, rot, metric)
 
 
 @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("metric", "refine"))
@@ -565,8 +594,12 @@ class IVFPQIndex:
 
     def _pack(self, xd, cent_np, order, sa, slot, c: int, cap: int,
               cb, rot, segment: int = 2_000_000) -> IVFPQState:
+        """xd may be a DEVICE array (bulk build: one upload, device gathers)
+        or a HOST ndarray (the repack path: segments are host-gathered and
+        streamed so the whole corpus never rides HBM next to the blocks)."""
         cfg = self.cfg
         n = xd.shape[0]
+        host_corpus = isinstance(xd, np.ndarray)
         cent = jnp.asarray(cent_np, jnp.float32)
         codes_blocks = jnp.zeros((c, cfg.nb, cap), jnp.uint8)
         norms_blocks = jnp.full((c, cap), jnp.inf, jnp.float32)
@@ -579,10 +612,18 @@ class IVFPQIndex:
             o[: hi - lo] = order[lo:hi]
             ss[: hi - lo, 0] = sa[lo:hi]
             ss[: hi - lo, 1] = slot[lo:hi]
-            codes_blocks, norms_blocks, b_ids = _pack_pq_segment(
-                xd, jnp.asarray(o), jnp.asarray(ss),
-                codes_blocks, norms_blocks, b_ids, cb, rot,
-                metric=cfg.metric)
+            if host_corpus:
+                xo = np.zeros((seg, cfg.dim), np.float32)
+                xo[: hi - lo] = xd[order[lo:hi]]
+                codes_blocks, norms_blocks, b_ids = _pack_pq_rows_segment(
+                    jnp.asarray(xo), jnp.asarray(o), jnp.asarray(ss),
+                    codes_blocks, norms_blocks, b_ids, cb, rot,
+                    metric=cfg.metric)
+            else:
+                codes_blocks, norms_blocks, b_ids = _pack_pq_segment(
+                    xd, jnp.asarray(o), jnp.asarray(ss),
+                    codes_blocks, norms_blocks, b_ids, cb, rot,
+                    metric=cfg.metric)
         counts = jnp.zeros((c,), jnp.int32).at[jnp.asarray(sa)].add(1)
 
         refine_d = cfg.dim if cfg.refine != "none" else 0
@@ -593,8 +634,10 @@ class IVFPQIndex:
         if refine_d:
             for lo in range(0, n, segment):
                 hi = min(lo + segment, n)
+                seg_rows = (jnp.asarray(xd[lo:hi]) if host_corpus
+                            else jax.lax.slice(xd, (lo, 0), (hi, cfg.dim)))
                 rr, rrs = _refine_segment(
-                    jax.lax.slice(xd, (lo, 0), (hi, cfg.dim)), rr, rrs,
+                    seg_rows, rr, rrs,
                     jnp.asarray(lo, jnp.int32), metric=cfg.metric,
                     refine=cfg.refine)
         return IVFPQState(
@@ -648,12 +691,27 @@ class IVFPQIndex:
         addc = np.bincount(assign, minlength=c)
         bsz = new.shape[0]
         chunk = 1 << max(10, int(math.ceil(math.log2(max(bsz, 1)))))
-        overflow = int((counts + addc).max()) > cap
         if cfg.refine != "none" and base + chunk > st.refine.shape[0]:
-            overflow = True
-        if overflow:
-            self._repack_with_new(new, base)
-            return
+            self._grow_refine(base + chunk)
+            st = self.state
+        if int((counts + addc).max()) > cap:
+            # Spill-to-neighbor: route rows whose nearest cluster is full to
+            # their next-nearest centroid with spare capacity. Exactly as
+            # sound as IVF probing itself — a non-residual code's ADC score
+            # is cluster-independent; the cluster only decides WHETHER a row
+            # is scanned, and a spilled row sits where nprobe >= 2 searches
+            # already look. Repack (O(N)) only when spill fails or the blocks
+            # are globally near-full (> 90% occupancy: the pre-sizing is
+            # exhausted, spill would degrade persistently) — the r5 30M run
+            # died repacking 28M rows it could have spilled around.
+            spilled = self._assign_with_spill(new, assign, counts, cap)
+            occupancy = (int(counts.sum()) + bsz) / float(c * cap)
+            frac = (np.count_nonzero(spilled != assign) / max(bsz, 1)
+                    if spilled is not None else 1.0)
+            if spilled is None or occupancy > 0.90 or frac > 0.20:
+                self._repack_with_new(new, base)
+                return
+            assign = spilled
         xb = np.zeros((chunk, cfg.dim), np.float32)
         xb[:bsz] = new
         ab = np.zeros((chunk,), np.int32)
@@ -674,6 +732,69 @@ class IVFPQIndex:
                                    self.cfg.metric)
             out.append(np.asarray(jnp.argmin(cs, axis=-1)))
         return np.concatenate(out) if out else np.zeros((0,), np.int64)
+
+    def _topk_assign(self, x: np.ndarray, cent: np.ndarray,
+                     t: int) -> np.ndarray:
+        """[n, t] nearest-centroid ids per row, best first (spill candidates)."""
+        n = x.shape[0]
+        centj = jnp.asarray(cent)
+        cn = D.sq_norms(centj)
+        t = min(t, cent.shape[0])
+        out = []
+        for lo in range(0, n, 16384):
+            cs = D.pairwise_scores(jnp.asarray(x[lo:lo + 16384]), centj, cn,
+                                   self.cfg.metric)
+            out.append(np.asarray(jax.lax.top_k(-cs, t)[1], np.int64))
+        return (np.concatenate(out) if out
+                else np.zeros((0, t), np.int64))
+
+    def _assign_with_spill(self, new: np.ndarray, assign: np.ndarray,
+                           counts: np.ndarray, cap: int,
+                           t: int = 8) -> Optional[np.ndarray]:
+        """Resolve per-cluster block overflow by walking each displaced row
+        down its top-t centroid list until it finds spare capacity.
+
+        Vectorized passes: within an overfull cluster the batch rows ranked
+        past the free slots move to their next candidate; up to t-1 rounds.
+        Returns the adjusted assignment, or None if rows remain unplaced
+        (capacity is genuinely exhausted -> caller repacks)."""
+        c = counts.shape[0]
+        cand = self._topk_assign(new, np.asarray(self.state.centroids), t)
+        b = new.shape[0]
+        rows = np.arange(b)
+        cur = np.zeros(b, np.int64)
+        assign = cand[rows, 0]
+        free = np.maximum(cap - counts, 0)
+        for _ in range(cand.shape[1] - 1):
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            first = np.searchsorted(sa, np.arange(c), side="left")
+            rank = np.arange(b) - first[sa]
+            over_sorted = rank >= free[sa]
+            over = np.zeros(b, bool)
+            over[order] = over_sorted
+            if not over.any():
+                return assign
+            movable = over & (cur < cand.shape[1] - 1)
+            if not movable.any():
+                return None
+            cur[movable] += 1
+            assign[movable] = cand[rows[movable], cur[movable]]
+        # final feasibility check after the last move
+        addc = np.bincount(assign, minlength=c)
+        return assign if int((counts + addc).max()) <= cap else None
+
+    def _grow_refine(self, need: int) -> None:
+        """Grow the refine store in place (device realloc + copy) — the
+        refine overflow never needs the O(N) cluster repack."""
+        st, cfg = self.state, self.cfg
+        rcap = max(1024, -(-int(need * 1.25) // 1024) * 1024 + 1024)
+        refine_d = st.refine.shape[1]
+        rr = jnp.zeros((rcap, refine_d), st.refine.dtype)
+        rr = jax.lax.dynamic_update_slice(rr, st.refine, (0, 0))
+        rrs = jnp.ones((rcap,), jnp.float32)
+        rrs = jax.lax.dynamic_update_slice(rrs, st.r_scales, (0,))
+        self.state = st._replace(refine=rr, r_scales=rrs)
 
     def _reconstruct_all(self) -> np.ndarray:
         """Live vectors in external-id order [n, D]: exact (dequantized) from
@@ -700,29 +821,49 @@ class IVFPQIndex:
     def _repack_with_new(self, new: np.ndarray, base: int) -> None:
         """Overflow path: re-pack TRUE vectors (refine store order preserved,
         so every previously returned id stays valid) against the existing
-        centroids + codebooks, splitting clusters that no longer fit."""
+        centroids + codebooks, splitting clusters that no longer fit.
+
+        HBM discipline (the round-5 30M lesson — repacking 28M rows as one
+        device array next to the live blocks OOMed a 16 GB chip): pull the
+        corpus to HOST, free the old state FIRST, assign/pack from streamed
+        host segments, and skip the device cluster split past 4M rows (cap
+        then comes from the true post-assign max count, trading block
+        padding for never holding corpus + 2 states)."""
         from .ivf import split_oversized_device
 
         x_all = np.concatenate([self._reconstruct_all(), new], axis=0)
         cfg = self.cfg
         n = x_all.shape[0]
-        xd = jnp.asarray(x_all, jnp.float32)
         cent = np.asarray(self.state.centroids)
+        cb, rot = self.state.codebooks, self.state.rot
+        self.state = None                     # frees blocks + refine on device
         assign = self._nearest_assign(x_all, cent).astype(np.int64)
         c = cent.shape[0]
-        cap_split = max(8, int(math.ceil(
-            cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8)
-        cent_np, assign = split_oversized_device(xd, cent, assign, cap_split)
+        if n <= _REPACK_SPLIT_MAX_ROWS:
+            xd = jnp.asarray(x_all, jnp.float32)
+            cap_split = max(8, int(math.ceil(
+                cfg.max_cluster_factor * max(n, 1) / c / 8.0)) * 8)
+            cent_np, assign = split_oversized_device(xd, cent, assign,
+                                                     cap_split)
+        else:
+            xd = x_all                        # host corpus -> streamed pack
+            cent_np = cent
         c2 = len(cent_np)
         max_count = int(np.bincount(assign, minlength=c2).max())
+        # Geometric growth: a repack on the add path means the previous
+        # sizing is exhausted — re-size for >= 1.5x the current corpus (or
+        # the declared expected_rows ratio if larger) so repacks amortize
+        # like vector doubling instead of recurring every few chunks with
+        # hot clusters saturated (which forces persistent far spills).
+        grow = max(1.5, (cfg.expected_rows or 0) / max(n, 1))
         cap = max(8, int(math.ceil(
-            cfg.block_headroom * max(max_count, 1) / 8.0)) * 8)
+            cfg.block_headroom * grow * max(max_count, 1) / 8.0)) * 8)
         order = np.argsort(assign, kind="stable").astype(np.int32)
         sa = assign[order].astype(np.int32)
         first = np.searchsorted(sa, np.arange(c2), side="left")
         slot = (np.arange(n) - first[sa]).astype(np.int32)
         self.state = self._pack(xd, cent_np, order, sa, slot, c2, cap,
-                                self.state.codebooks, self.state.rot)
+                                cb, rot)
         self._apply_tombstones()
 
     def _apply_tombstones(self) -> None:
