@@ -17,6 +17,8 @@ Engines measured (all part of zvdb-tpu):
            one-gather scoring rows (the fast graph engine).
   pq     — product-quantized scan + int16 refine rerank (measured at the 1M
            config only: the memory-scaling engine, 12 B/vec codes).
+  ivfpq  — cluster-blocked 4-bit PQ + grouped fused ADC kernel (the round-5
+           sublinear scale tier: scans only probed clusters; measured at 1M).
 
 Graph-engine builds are timed WARM (same-shape rebuild after a first build
 that pays the one-off XLA compilations — the reference's Zig build has no
@@ -413,6 +415,58 @@ def main():
             del pqi
         except Exception as e:
             log(f"pq 1M failed: {e!r}")
+        emit(results)
+
+    # ---- IVF-PQ at 1M: the round-5 sublinear scale tier. Same 4-bit codes +
+    # int16 refine as pq_1m, but cluster-blocked so each query scans only its
+    # probed clusters via the grouped fused ADC kernel (at 30M the flat PQ
+    # scan is linear-in-N: 2.3k QPS; probing makes the scale tier sublinear).
+    # Config: the measured 1M winner (exp_r5_ivfpq4 — l_bins=256 default,
+    # nprobe=8, rerank=12 = 0.9992 @ 66.4k; lb128 walls at 0.9912 because
+    # per-bin top-2 eviction inside a probed cluster is exactly where 4-bit
+    # ADC noise bites). ------------------------------------------------------
+    if x1 is not None:
+        try:
+            from zvdb_tpu import IVFPQConfig, IVFPQIndex
+
+            ipq_cfg = IVFPQConfig(dim=d, metric=metric)
+            xd1 = jax.device_put(x1)
+            jax.block_until_ready(xd1)
+            warm = IVFPQIndex(ipq_cfg)
+            warm.build(xd1)                    # pays the one-off compiles
+            jax.block_until_ready(warm.state.codes_blocks)
+            del warm
+            ipq_build_dev_s, ipq_runs = float("inf"), []
+            for _ in range(2):
+                ipq = IVFPQIndex(ipq_cfg)
+                t0 = time.perf_counter()
+                ipq.build(xd1)
+                jax.block_until_ready(ipq.state.codes_blocks)
+                dt = time.perf_counter() - t0
+                ipq_runs.append(round(n1 / dt, 1))
+                ipq_build_dev_s = min(ipq_build_dev_s, dt)
+            del xd1
+            npb, rrb = 8, 12
+            idsi = np.concatenate([
+                np.asarray(ipq.search(q1[lo:lo + 2048], k,
+                                      nprobe=npb, rerank=rrb)[1])
+                for lo in range(0, nq, 2048)
+            ])
+            ri_ = recall_at_k(idsi, gt1, k)
+            qpsi, qpsi_runs = timed_qps(
+                lambda qq: ipq.search(qq, k, nprobe=npb, rerank=rrb),
+                q1, 2048)
+            log(f"ivfpq 1M: recall={ri_:.4f} qps={qpsi:,.0f} "
+                f"build={n1/ipq_build_dev_s:,.0f} pts/s device-resident "
+                f"({ipq_cfg.bytes_per_vector * n1 / 2**30:.2f} GB)")
+            results["ivfpq_1m"] = dict(recall=ri_, qps=qpsi,
+                                       qps_runs=qpsi_runs,
+                                       build_pps=n1 / ipq_build_dev_s,
+                                       build_runs_pps=ipq_runs,
+                                       nprobe=npb, rerank=rrb)
+            del ipq
+        except Exception as e:
+            log(f"ivfpq 1M failed: {e!r}")
         emit(results)
 
     # ---- graph engine at 1M — the north-star axis (>=100k QPS @ >=0.95

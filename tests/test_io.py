@@ -82,3 +82,21 @@ def test_native_exact_knn_matches_numpy(rng):
     s, i = res
     d = ((q[:, None] - x[None]) ** 2).sum(-1)
     np.testing.assert_array_equal(i, np.argsort(d, axis=1, kind="stable")[:, :5])
+
+
+def test_lowlid_generator_and_lid_estimator():
+    """The LID-matched protocol (VERDICT r4 item 7): the low-LID mixture must
+    read a Levina-Bickel MLE far below ambient dim and below the isotropic
+    stand-in, and the generator must be deterministic + query-compatible."""
+    # small but population-per-cluster > estimator k (docstring requirement)
+    x = datasets.synthetic_lowlid(8000, 64, subdim=8, n_clusters=40, seed=5)
+    assert x.shape == (8000, 64) and x.dtype == np.float32
+    np.testing.assert_array_equal(
+        x, datasets.synthetic_lowlid(8000, 64, subdim=8, n_clusters=40, seed=5))
+    lid_low = datasets.estimate_lid(x, k=20, n_sample=400)
+    iso = datasets.synthetic_clustered(8000, 64, n_clusters=40, seed=5)
+    lid_iso = datasets.estimate_lid(iso, k=20, n_sample=400)
+    assert lid_low < 16, lid_low          # reads near subdim, not ambient 64
+    assert lid_low < 0.6 * lid_iso, (lid_low, lid_iso)
+    q = datasets.lowlid_queries(32, 64, subdim=8, n_clusters=40, seed=5)
+    assert q.shape == (32, 64) and q.dtype == np.float32
