@@ -369,3 +369,22 @@ def test_repack_streams_host_segments(corpus, monkeypatch):
     assert float((np.asarray(ids)[:, 0] == np.arange(50)).mean()) >= 0.95
     _, ids = idx.search(x[7000:7050], 1)
     assert float((np.asarray(ids)[:, 0] == np.arange(7000, 7050)).mean()) >= 0.95
+
+
+def test_final_chunk_pow2_padding_does_not_grow_refine(corpus):
+    """The append's pow2 padding must not overshoot an exactly-pre-sized
+    refine store into a growth copy (the 30M final-chunk OOM): the flush
+    falls back to 1024-multiple padding when that fits."""
+    x, _ = corpus
+    idx = IVFPQIndex(IVFPQConfig(dim=64, n_sub=16, nprobe=8, rerank=12,
+                                 n_clusters=64, expected_rows=8000))
+    idx.build(x[:3000])
+    rcap0 = idx.state.refine.shape[0]
+    assert 3000 + (1 << 13) > rcap0          # pow2 pad (8192) overshoots...
+    idx.add(x[3000:8000])
+    idx.flush()                  # ...but 1024-pad fits the pre-sized store
+    assert idx.state.refine.shape[0] == rcap0, "refine store grew"
+    assert int(idx.state.n) == 8000
+    _, ids = idx.search(x[7900:8000], 1)
+    hit = float((np.asarray(ids)[:, 0] == np.arange(7900, 8000)).mean())
+    assert hit >= 0.95, hit

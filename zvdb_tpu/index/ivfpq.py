@@ -690,10 +690,21 @@ class IVFPQIndex:
         counts = np.asarray(st.counts)
         addc = np.bincount(assign, minlength=c)
         bsz = new.shape[0]
+        # pow2 padding bounds distinct append-program shapes; but the padded
+        # refine write touches rows [base, base+chunk), and the pow2
+        # overshoot past an exactly-pre-sized store must not force a growth
+        # copy (old+new stores coexisting OOMed the 30M run on the FINAL
+        # chunk). Fall back to 1024-multiple padding when that alone fits —
+        # base + ceil(bsz/1024)*1024 <= ceil(n_total/1024)*1024 + 1024
+        # always, so a store pre-sized for expected_rows never grows.
         chunk = 1 << max(10, int(math.ceil(math.log2(max(bsz, 1)))))
         if cfg.refine != "none" and base + chunk > st.refine.shape[0]:
-            self._grow_refine(base + chunk)
-            st = self.state
+            chunk_1k = -(-bsz // 1024) * 1024
+            if base + chunk_1k <= st.refine.shape[0]:
+                chunk = chunk_1k
+            else:
+                self._grow_refine(base + chunk)
+                st = self.state
         if int((counts + addc).max()) > cap:
             # Spill-to-neighbor: route rows whose nearest cluster is full to
             # their next-nearest centroid with spare capacity. Exactly as
