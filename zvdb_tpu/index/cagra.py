@@ -740,7 +740,7 @@ class CagraIndex:
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
                max_iters: Optional[int] = None, allowed=None,
-               filter_mode: str = "scan"):
+               filter_mode: str = "auto"):
         """kNN search. q [D] or [B, D] -> (scores, ids) [B, k] ([k] squeezed).
         Invalid slots: id -1 (reference returns < k results when n < k).
         ef_search / search_degree / max_iters override the config per call
@@ -748,7 +748,10 @@ class CagraIndex:
         combination is its own compiled program).
         allowed: optional allowlist (bool mask over ids, or int id array).
         filter_mode governs how it executes:
-          "scan" (default) — EXACT masked brute-force scan over the stored
+          "auto" (default) — "scan" unless the corpus is past the measured
+            crossover AND the filter is near-all-pass, where the beam keeps
+            its recall and is sublinear (utils/filter_policy.py).
+          "scan" — EXACT masked brute-force scan over the stored
             rows (flat.masked_exact_search). Measured round 4: the beam
             path collapses on selective filters (0.358 recall @ 83 QPS at
             1% selectivity even at ef=1200) while the masked scan is exact
@@ -757,10 +760,15 @@ class CagraIndex:
             filtered from the final ef-wide beam; raise ef_search for
             selective filters. Only competitive when the filter is nearly
             all-pass."""
-        if filter_mode not in ("scan", "beam"):
+        if filter_mode not in ("auto", "scan", "beam"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
+            if filter_mode == "auto":
+                from ..utils.filter_policy import resolve_filter_mode
+
+                filter_mode = resolve_filter_mode(
+                    "auto", allowed, self._n_inserted, alt="beam")
             q = jnp.asarray(q, jnp.float32)
             squeeze = q.ndim == 1
             if squeeze:

@@ -714,7 +714,7 @@ class HNSW:
     def search(self, q, k: int, ef_search: Optional[int] = None,
                search_degree: Optional[int] = None,
                max_iters: Optional[int] = None, allowed=None,
-               filter_mode: str = "scan"):
+               filter_mode: str = "auto"):
         """kNN search. q: [D] or [B, D]. Returns (scores, ids) with shape [B, k]
         ([k] for a single query). Trailing invalid slots have id -1 (the
         reference returns fewer-than-k results when n < k,
@@ -723,16 +723,23 @@ class HNSW:
         (search-time-only knobs; each distinct combination is its own
         compiled program).
         allowed: optional allowlist over EXTERNAL ids (bool mask or int id
-        array). filter_mode "scan" (default) answers the filtered query with
-        an EXACT masked brute-force scan of the stored rows — measured
-        round 4, the beam path loses recall catastrophically at <=10%
-        selectivity (docs/PERF.md) while the scan is exact and faster at
-        every selectivity. "beam": non-matching nodes keep routing the beam
-        and are filtered from the final ef-wide beam (raise ef_search)."""
-        if filter_mode not in ("scan", "beam"):
+        array). filter_mode "auto" (default) routes per call: "scan" unless
+        the corpus is past the measured crossover AND the filter is
+        near-all-pass (utils/filter_policy.py). "scan" answers the filtered
+        query with an EXACT masked brute-force scan of the stored rows —
+        measured round 4, the beam path loses recall catastrophically at
+        <=10% selectivity (docs/PERF.md) while the scan is exact and faster
+        at every selectivity. "beam": non-matching nodes keep routing the
+        beam and are filtered from the final ef-wide beam (raise ef_search)."""
+        if filter_mode not in ("auto", "scan", "beam"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
+            if filter_mode == "auto":
+                from ..utils.filter_policy import resolve_filter_mode
+
+                filter_mode = resolve_filter_mode(
+                    "auto", allowed, self._n_inserted, alt="beam")
             q = jnp.asarray(q, jnp.float32)
             squeeze = q.ndim == 1
             if squeeze:

@@ -1187,9 +1187,12 @@ class IVFIndex:
 
     # -- search -----------------------------------------------------------
     def search(self, q, k: int, nprobe: Optional[int] = None, allowed=None,
-               filter_mode: str = "scan"):
+               filter_mode: str = "auto"):
         """allowed: optional allowlist (bool mask over ids or int id array).
-        filter_mode "scan" (default): EXACT masked brute-force scan — float
+        filter_mode "auto" (default): "scan" unless the corpus is past the
+        measured crossover AND the filter is near-all-pass, where "probe"
+        keeps recall and is sublinear (utils/filter_policy.py).
+        filter_mode "scan": EXACT masked brute-force scan — float
         blocks are one contiguous corpus copy, int8-residual indexes scan
         the exact rerank shadow store (built with IVFConfig(rerank>0));
         int8 WITHOUT a shadow store falls back to "probe". Measured round 4
@@ -1197,10 +1200,15 @@ class IVFIndex:
         recall at 1% selectivity while the scan is exact at flat-scan cost.
         filter_mode "probe": filter on the probe candidate pool (P*kk wide,
         widened 8x) — raise nprobe for selective filters."""
-        if filter_mode not in ("scan", "probe"):
+        if filter_mode not in ("auto", "scan", "probe"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
+            if filter_mode == "auto":
+                from ..utils.filter_policy import resolve_filter_mode
+
+                filter_mode = resolve_filter_mode(
+                    "auto", allowed, self._n_inserted, alt="probe")
             q = jnp.asarray(q, jnp.float32)
             squeeze = q.ndim == 1
             if squeeze:

@@ -973,17 +973,24 @@ class IVFPQIndex:
 
     def search(self, q, k: int, nprobe: Optional[int] = None,
                rerank: Optional[int] = None, allowed=None,
-               filter_mode: str = "scan"):
+               filter_mode: str = "auto"):
         """Top-k. Per-call nprobe/rerank overrides (each distinct value is
         its own compiled program). Filtered search defaults to the EXACT
         masked scan over the refine store (round-4 measured policy —
-        docs/PERF.md filtered-search section); filter_mode="probe" filters
-        the probe candidate pool instead (raise nprobe for selective
-        filters)."""
-        if filter_mode not in ("scan", "probe"):
+        docs/PERF.md filtered-search section); "auto" (default) keeps the
+        scan below the measured crossover and routes near-all-pass filters
+        on huge corpora to "probe" (utils/filter_policy.py);
+        filter_mode="probe" filters the probe candidate pool instead
+        (raise nprobe for selective filters)."""
+        if filter_mode not in ("auto", "scan", "probe"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         with self._lock:
             self._flush_locked()
+            if filter_mode == "auto":
+                from ..utils.filter_policy import resolve_filter_mode
+
+                filter_mode = resolve_filter_mode(
+                    "auto", allowed, self._n_inserted, alt="probe")
             q = jnp.asarray(q, jnp.float32)
             squeeze = q.ndim == 1
             if squeeze:

@@ -507,15 +507,22 @@ class ShardedHNSW:
         return run
 
     def search(self, q, k: int, ef_search: Optional[int] = None,
-               allowed=None, filter_mode: str = "scan"):
-        """allowed: optional allowlist over global ids. filter_mode "scan"
-        (default) answers filtered queries with the EXACT per-shard masked
+               allowed=None, filter_mode: str = "auto"):
+        """allowed: optional allowlist over global ids. filter_mode "auto"
+        (default) = "scan" unless the global corpus is past the measured
+        crossover AND the filter is near-all-pass (utils/filter_policy.py);
+        "scan" answers filtered queries with the EXACT per-shard masked
         scan + global merge (parallel/scan_filter.py — the round-4 measured
         policy: the beam path collapses at selective filters); "beam" keeps
         the tombstone-mask beam path (raise ef_search)."""
-        if filter_mode not in ("scan", "beam"):
+        if filter_mode not in ("auto", "scan", "beam"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
+        if filter_mode == "auto":
+            from ..utils.filter_policy import resolve_filter_mode
+
+            filter_mode = resolve_filter_mode(
+                "auto", allowed, self._n, alt="beam")
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
             s = np.full((q.shape[0], k), np.inf if self.cfg.metric == "l2" else -np.inf)

@@ -263,17 +263,24 @@ class ShardedIVF:
         on a global top-p and ships probe lists over ICI for no measured
         recall win at the tested scales.
 
-        allowed: optional allowlist over global ids. filter_mode "scan"
-        (default, float dtypes) answers filtered queries with the EXACT
+        allowed: optional allowlist over global ids. filter_mode "auto"
+        (default) = "scan" unless the global corpus is past the measured
+        crossover AND the filter is near-all-pass (utils/filter_policy.py).
+        "scan" (float dtypes) answers filtered queries with the EXACT
         per-shard masked scan of the grouped blocks + global merge
         (parallel/scan_filter.py — round-4 measured policy: probe-pool
         filtering lost to 0.256 recall at 1% selectivity even at 8x
         widening). "probe" (and int8 residual storage, which has no exact
         row form) filters the per-shard probe pools, widened 8x; forces
         the local-id+id_map layout on first use (one-time conversion)."""
-        if filter_mode not in ("scan", "probe"):
+        if filter_mode not in ("auto", "scan", "probe"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
+        if filter_mode == "auto":
+            from ..utils.filter_policy import resolve_filter_mode
+
+            filter_mode = resolve_filter_mode(
+                "auto", allowed, self._n, alt="probe")
         if self.state is None or self._n == 0:
             q = np.atleast_2d(np.asarray(q, np.float32))
             return (

@@ -241,16 +241,23 @@ class ShardedIVFPQ:
 
     def search(self, q, k: int, nprobe: Optional[int] = None,
                rerank: Optional[int] = None, allowed=None,
-               filter_mode: str = "scan"):
+               filter_mode: str = "auto"):
         """Shard-routed top-k. `nprobe` is a GLOBAL budget: each shard
         probes its ceil(nprobe/S)+1 best LOCAL clusters (the ShardedIVF
         convention — the union covers at least the single-chip probe set's
         per-shard share and usually widens it, so recall at a matched
         budget is >= the single-chip row). Filtered search defaults to the
-        exact masked scan over the refine stores."""
-        if filter_mode not in ("scan", "probe"):
+        exact masked scan over the refine stores; "auto" routes
+        near-all-pass filters on huge corpora to "probe"
+        (utils/filter_policy.py)."""
+        if filter_mode not in ("auto", "scan", "probe"):
             raise ValueError(f"invalid filter_mode {filter_mode!r}")
         self._flush()
+        if filter_mode == "auto":
+            from ..utils.filter_policy import resolve_filter_mode
+
+            filter_mode = resolve_filter_mode(
+                "auto", allowed, self._n, alt="probe")
         q = jnp.atleast_2d(jnp.asarray(q, jnp.float32))
         if q.shape[-1] != self.cfg.dim:
             raise ValueError(
