@@ -161,17 +161,20 @@ def corpus_1m(d, nq, k, n1=1_000_000):
     return x1, q1, gt1
 
 
-def run_pq_scale(scale_n: int, k: int = 10):
-    """>=30M single-chip PQ scale row (the 100M-config hardware evidence).
+def run_pq_scale(scale_n: int, k: int = 10, engine: str = "pq"):
+    """>=30M single-chip scale row (the 100M-config hardware evidence).
 
     Chunked DEEP-like 96d build with exact GT merged per resident chunk —
     the HBM-disciplined protocol of examples/exp_r4_scale.py. Returns
     (results key, row dict). Small scale_n values run the same code as a
-    smoke (chunk shrinks to scale_n).
+    smoke (chunk shrinks to scale_n). engine: "pq" (flat 4-bit scan,
+    linear in N) or "ivfpq" (cluster-blocked probes, the sublinear tier —
+    examples/exp_r5_ivfpq_scale.py is the instrumented run).
     """
     import jax
 
-    from zvdb_tpu import FlatConfig, FlatIndex, PQConfig, PQFlatIndex
+    from zvdb_tpu import (FlatConfig, FlatIndex, IVFPQConfig, IVFPQIndex,
+                          PQConfig, PQFlatIndex)
     from zvdb_tpu.bench.harness import recall_at_k
 
     ds, nqs = 96, 2048
@@ -179,11 +182,21 @@ def run_pq_scale(scale_n: int, k: int = 10):
     # int16 refine store: the rescore-precision fix (PERF.md round-4 — int8
     # refine walls recall at 0.9351 @ 30M, bf16 at 0.9808; int16 is
     # f32-grade). 224 B/row at 96d.
-    scfg = PQConfig(dim=ds, n_sub=48, n_codes=16, scan="pallas",
-                    scan_precision="int8", refine="int16", rerank=16,
-                    l_bins=1024, per_bin=2,
-                    train_sample=min(131072, chunk_n))
-    sidx = PQFlatIndex(scfg, capacity=scale_n)
+    if engine == "ivfpq":
+        # the sublinear tier: probed cluster blocks cut the linear ADC scan
+        # ~C/nprobe-fold; l_bins=256 is the measured per-cluster bin-pool
+        # recall lever (exp_r5_ivfpq4), expected_rows pre-sizes blocks +
+        # refine so chunked adds never repack.
+        sidx = IVFPQIndex(IVFPQConfig(
+            dim=ds, n_sub=48, refine="int16", nprobe=16, rerank=16,
+            l_bins=256, chunk=512, train_sample=min(131072, chunk_n),
+            expected_rows=scale_n))
+    else:
+        sidx = PQFlatIndex(PQConfig(
+            dim=ds, n_sub=48, n_codes=16, scan="pallas",
+            scan_precision="int8", refine="int16", rerank=16,
+            l_bins=1024, per_bin=2,
+            train_sample=min(131072, chunk_n)), capacity=scale_n)
     cents = (np.random.default_rng(4242)
              .standard_normal((32768, ds)).astype(np.float32) * 2.0)
 
@@ -205,7 +218,12 @@ def run_pq_scale(scale_n: int, k: int = 10):
         xc = c0 if i == 0 else s_chunk(i, chunk_n)
         xdc = jax.device_put(xc)
         jax.block_until_ready(xdc)
-        sidx.add(xdc)
+        if engine == "ivfpq" and i == 0:
+            sidx.build(xdc)          # trains centroids + codebooks
+        else:
+            sidx.add(xdc)
+            if engine == "ivfpq":
+                sidx.flush()         # append into pre-sized cluster blocks
         orc = FlatIndex(FlatConfig(dim=ds, precision="highest",
                                    tile_n=250_000), capacity=chunk_n)
         orc.add(xdc)
@@ -222,14 +240,18 @@ def run_pq_scale(scale_n: int, k: int = 10):
     # depth for 6% QPS — PERF.md "Round-4 single-chip scale"; rr256 is
     # recall-identical; the residual gap was the int8 refine precision,
     # fixed by the int16 refine store above — 0.9999 measured at 30M)
-    rr = 128 if scale_n >= 8_000_000 else 16
-    ids_s = np.asarray(sidx.search(qsd, k, rerank=rr)[1])
+    if engine == "ivfpq":
+        rr = 32 if scale_n >= 8_000_000 else 16
+        fn = lambda qq: sidx.search(qq, k, nprobe=16, rerank=rr)
+    else:
+        rr = 128 if scale_n >= 8_000_000 else 16
+        fn = lambda qq: sidx.search(qq, k, rerank=rr)
+    ids_s = np.asarray(fn(qsd)[1])
     rs_ = recall_at_k(ids_s, gi, k)
-    qps_s, qps_s_runs = timed_qps(
-        lambda qq: sidx.search(qq, k, rerank=rr), qs_, 2048)
-    log(f"pq scale {scale_n:,}: recall={rs_:.4f} qps={qps_s:,.0f} "
+    qps_s, qps_s_runs = timed_qps(fn, qs_, 2048)
+    log(f"{engine} scale {scale_n:,}: recall={rs_:.4f} qps={qps_s:,.0f} "
         f"build={scale_n/sb:,.0f} pts/s (incl. exact-GT pass)")
-    return (f"pq_{scale_n // 1_000_000}m",
+    return (f"{engine}_{scale_n // 1_000_000}m",
             dict(recall=rs_, qps=qps_s, qps_runs=qps_s_runs,
                  build_pps=scale_n / sb))
 
@@ -784,12 +806,17 @@ def main():
     # chip scale"); examples/exp_r4_scale.py is the full instrumented run.
     scale_n = int(os.environ.get("ZVDB_BENCH_SCALE", "0"))
     if scale_n:
-        try:
-            tag, row = run_pq_scale(scale_n, k)
-            results[tag] = row
-        except Exception as e:
-            log(f"pq scale failed: {e!r}")
-        emit(results)
+        # ZVDB_BENCH_SCALE_ENGINE: "pq" (flat scan, linear), "ivfpq" (the
+        # sublinear probed tier), or a comma list to run both on the same
+        # protocol.
+        for eng in os.environ.get("ZVDB_BENCH_SCALE_ENGINE",
+                                  "pq").split(","):
+            try:
+                tag, row = run_pq_scale(scale_n, k, engine=eng.strip())
+                results[tag] = row
+            except Exception as e:
+                log(f"{eng} scale failed: {e!r}")
+            emit(results)
 
 
 if __name__ == "__main__":

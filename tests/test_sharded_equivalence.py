@@ -195,3 +195,35 @@ def test_hnsw_equivalence_saturating_ef(data, mesh4):
     so, io = oracle.search(q, K)
     assert_same(so, io, *single.search(q, K, ef_search=256))
     _graph_equiv(single, sh, x, q, ef=256)
+
+
+# ---------------------------------------------------------------- ivfpq
+
+def test_ivfpq_equivalence_exhaustive_pool(data, mesh4):
+    """Sixth engine (round-5): exhaustive probes + collision-free bin pool
+    + float32 refine covering the corpus makes both sides exact over the
+    original vectors, so sharded merge must equal the single chip exactly.
+    l_bins=1024 >= any cluster's row count -> one bin per row, zero ADC
+    pool eviction; rerank=256 -> refine pool k*rerank=2560 >= N=2000."""
+    x, q = data
+    from zvdb_tpu import IVFPQConfig, IVFPQIndex, ShardedIVFPQ
+
+    cfg = IVFPQConfig(dim=D, n_sub=8, n_clusters=8, nprobe=8,
+                      refine="float32", rerank=256, l_bins=1024,
+                      chunk=1024, train_sample=1024, kmeans_sample=1024)
+    single = IVFPQIndex(cfg)
+    single.build(x)
+    sh = ShardedIVFPQ(cfg, mesh=mesh4)
+    sh.build(x)
+    big = 10 ** 6   # clamped to the local cluster count per shard
+    assert_same(*single.search(q, K, nprobe=8),
+                *sh.search(q, K, nprobe=big))
+    # deletes
+    dead = _victims(x, q)
+    assert single.remove(dead) == sh.remove(dead) == dead.size
+    assert_same(*single.search(q, K, nprobe=8),
+                *sh.search(q, K, nprobe=big))
+    # filtered search (exact masked scan both sides)
+    allowed = np.arange(0, N, 3)
+    assert_same(*single.search(q, K, nprobe=8, allowed=allowed),
+                *sh.search(q, K, nprobe=big, allowed=allowed))
